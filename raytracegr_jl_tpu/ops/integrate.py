@@ -1,0 +1,334 @@
+"""Batched geodesic ODE integration with event termination, TPU-native.
+
+The reference integrates one ODE per ray via OrdinaryDiffEq's ``Tsit5`` with
+a ``ContinuousCallback`` that root-finds the surface crossing and terminates
+(/root/reference/src/RayTraceGR.jl:482-511), parallelized with a thread
+ensemble. That shape (dynamic per-ray step counts, early exits) is hostile to
+TPUs, so this module is the single biggest architectural divergence
+(SURVEY.md §2a, §7): ONE uniform batched stepper over ray state ``[B, 8]``
+with per-ray active masks — terminated/hit rays are frozen in place while the
+rest keep stepping — inside a fixed-shape ``lax.while_loop`` (forward fast
+path) or bounded ``lax.scan`` (differentiable path).
+
+Components:
+  * Tsit5 (Tsitouras 5(4)) embedded pair with FSAL, per-ray adaptive dt,
+    PI step-size controller and step rejection — the reference's solver
+    (RayTraceGR.jl:510) re-derived as an array program.
+  * Classic RK4 fixed-step — the cheap mode for flat space (BASELINE.json
+    example1 config).
+  * Event handling: the ContinuousCallback becomes per-step sign-change
+    detection of the event function on a cubic-Hermite dense-output
+    interpolant (checked at interior sample points, like the callback's
+    ``interp_points``), then masked bisection to localize the crossing.
+  * Hairer's automatic initial-dt heuristic, vectorized per ray.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# Tsitouras 5(4) tableau (FSAL). Standard published coefficients.
+# ---------------------------------------------------------------------------
+TS_C = (0.161, 0.327, 0.9, 0.9800255409045097, 1.0, 1.0)
+TS_A = (
+    (0.161,),
+    (-0.008480655492356989, 0.335480655492357),
+    (2.8971530571054935, -6.359448489975075, 4.3622954328695815),
+    (5.325864828439257, -11.748883564062828, 7.4955393428898365,
+     -0.09249506636175525),
+    (5.86145544294642, -12.92096931784711, 8.159367898576159,
+     -0.071584973281401, -0.028269050394068383),
+    # Row 7 == 5th-order solution weights b_i (FSAL)
+    (0.09646076681806523, 0.01, 0.4798896504144996, 1.379008574103742,
+     -3.290069515436081, 2.324710524099774),
+)
+# Error weights: err = dt * sum(btilde_i * k_i)  (5th minus embedded 4th)
+TS_BTILDE = (
+    -0.00178001105222577714, -0.0008164344596567469, 0.007880878010261995,
+    -0.1447110071732629, 0.5823571654525552, -0.45808210592918697,
+    0.015151515151515152,
+)
+
+RHS = Callable[[jax.Array], jax.Array]  # [B, 8] -> [B, 8] (autonomous)
+EventFn = Callable[[jax.Array], jax.Array]  # [B, 8] -> [B]
+
+
+class IntegratorConfig(NamedTuple):
+    """Solver settings (reference defaults: RayTraceGR.jl:485,497,510)."""
+
+    method: str = "tsit5"  # "tsit5" | "rk4"
+    rtol: float = 1e-12  # ~ eps(Float64)^(3/4), set per dtype by caller
+    atol: float = 1e-12
+    lam_max: float = 100.0  # affine-parameter span (0, 100)
+    max_steps: int = 10_000  # while_loop iteration bound (accept+reject)
+    rk4_dt: float = 0.05  # fixed step for method="rk4"
+    interp_points: int = 8  # interior event samples per step
+    bisect_iters: int = 40  # event bisection refinements
+    safety: float = 0.9
+    qmin: float = 0.2
+    qmax: float = 10.0
+    beta1: float = 7.0 / 50.0  # PI controller gains (order-5 defaults)
+    beta2: float = 2.0 / 25.0
+    dt_min: float = 1e-14
+
+
+class TraceResult(NamedTuple):
+    y: jax.Array  # [B, 8] final state (at the surface crossing for hits)
+    lam: jax.Array  # [B] final affine parameter
+    hit: jax.Array  # [B] bool, event fired (surface crossed)
+    steps: jax.Array  # [B] accepted steps per ray
+    n_iters: jax.Array  # scalar, loop iterations used
+
+
+# ---------------------------------------------------------------------------
+# Steppers
+# ---------------------------------------------------------------------------
+
+def tsit5_step(f: RHS, y: jax.Array, dt: jax.Array, k1: jax.Array):
+    """One Tsit5 stage sweep. ``dt`` is per-ray ``[B]``; ``k1 = f(y)`` (FSAL).
+
+    Returns (y5, err, k7) where k7 = f(y5) seeds the next step's k1.
+    """
+    d = dt[..., None]
+    k2 = f(y + d * (TS_A[0][0] * k1))
+    k3 = f(y + d * (TS_A[1][0] * k1 + TS_A[1][1] * k2))
+    k4 = f(y + d * (TS_A[2][0] * k1 + TS_A[2][1] * k2 + TS_A[2][2] * k3))
+    k5 = f(y + d * (TS_A[3][0] * k1 + TS_A[3][1] * k2 + TS_A[3][2] * k3
+                    + TS_A[3][3] * k4))
+    k6 = f(y + d * (TS_A[4][0] * k1 + TS_A[4][1] * k2 + TS_A[4][2] * k3
+                    + TS_A[4][3] * k4 + TS_A[4][4] * k5))
+    y5 = y + d * (TS_A[5][0] * k1 + TS_A[5][1] * k2 + TS_A[5][2] * k3
+                  + TS_A[5][3] * k4 + TS_A[5][4] * k5 + TS_A[5][5] * k6)
+    k7 = f(y5)
+    err = d * (TS_BTILDE[0] * k1 + TS_BTILDE[1] * k2 + TS_BTILDE[2] * k3
+               + TS_BTILDE[3] * k4 + TS_BTILDE[4] * k5 + TS_BTILDE[5] * k6
+               + TS_BTILDE[6] * k7)
+    return y5, err, k7
+
+
+def rk4_step(f: RHS, y: jax.Array, dt: jax.Array, k1: jax.Array):
+    """Classic RK4; returns (y1, zero-err, f(y1)) to share the driver."""
+    d = dt[..., None]
+    k2 = f(y + 0.5 * d * k1)
+    k3 = f(y + 0.5 * d * k2)
+    k4 = f(y + d * k3)
+    y1 = y + (d / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    return y1, jnp.zeros_like(y1), f(y1)
+
+
+def error_norm(err, y0, y1, rtol, atol):
+    """Hairer scaled RMS error norm over the 8 state components, per ray."""
+    sc = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
+    return jnp.sqrt(jnp.mean((err / sc) ** 2, axis=-1))
+
+
+def hermite_interp(y0, y1, f0, f1, dt, theta):
+    """Cubic Hermite dense output on a step: state at ``y(lam0 + theta*dt)``.
+
+    Stands in for Tsit5's dense output when root-finding the event crossing
+    (the reference relies on the solver interpolant via ContinuousCallback).
+    theta: [...] broadcastable against y's batch dims.
+    """
+    th = theta[..., None]
+    d = dt[..., None]
+    return ((1 - th) * y0 + th * y1
+            + th * (th - 1) * ((1 - 2 * th) * (y1 - y0)
+                               + (th - 1) * d * f0 + th * d * f1))
+
+
+def hairer_init_dt(f: RHS, y0: jax.Array, rtol, atol, order: int = 5,
+                   lam_span: float = 100.0) -> jax.Array:
+    """Per-ray automatic initial step size (Hairer, Norsett & Wanner II.4)."""
+    f0 = f(y0)
+    sc = atol + jnp.abs(y0) * rtol
+    d0 = jnp.sqrt(jnp.mean((y0 / sc) ** 2, axis=-1))
+    d1 = jnp.sqrt(jnp.mean((f0 / sc) ** 2, axis=-1))
+    dt0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    y1 = y0 + dt0[..., None] * f0
+    f1 = f(y1)
+    d2 = jnp.sqrt(jnp.mean(((f1 - f0) / sc) ** 2, axis=-1)) / dt0
+    dmax = jnp.maximum(d1, d2)
+    dt1 = jnp.where(
+        dmax <= 1e-15,
+        jnp.maximum(1e-6, dt0 * 1e-3),
+        (0.01 / dmax) ** (1.0 / (order + 1)),
+    )
+    return jnp.minimum(100.0 * dt0, jnp.minimum(dt1, lam_span))
+
+
+# ---------------------------------------------------------------------------
+# Event localization
+# ---------------------------------------------------------------------------
+
+def _locate_event(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
+    """Find the first zero crossing of the event function within a step.
+
+    Samples the Hermite interpolant at ``interp_points`` interior points to
+    bracket the FIRST sign change (mirrors ContinuousCallback's interp_points
+    scan), then bisects. Returns (crossed [B], theta* [B], y* [B,8]).
+    """
+    B = y0.shape[0]
+    npts = cfg.interp_points
+    dtype = y0.dtype
+    thetas = jnp.arange(1, npts + 1, dtype=dtype) / npts  # (0, 1] samples
+    d_prev = event_fn(y0)  # [B] (>0 before a crossing)
+
+    def sample(theta):
+        return event_fn(hermite_interp(y0, y1, f0, f1, dt, theta))
+
+    d_samples = jax.vmap(sample)(jnp.broadcast_to(thetas[:, None], (npts, B)))
+    # d_samples: [npts, B]. Find first index where sign flips to <= 0.
+    neg = d_samples <= 0.0
+    any_neg = jnp.any(neg, axis=0)  # [B]
+    first = jnp.argmax(neg, axis=0)  # first True index, 0 if none
+    th_hi = thetas[first]
+    th_lo = jnp.where(first == 0, jnp.zeros_like(th_hi), thetas[first - 1])
+    crossed = any_neg & (d_prev > 0.0)
+
+    def bisect_body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        d_mid = sample(mid)
+        lo = jnp.where(d_mid > 0.0, mid, lo)
+        hi = jnp.where(d_mid > 0.0, hi, mid)
+        return lo, hi
+
+    lo, hi = lax.fori_loop(0, cfg.bisect_iters, bisect_body, (th_lo, th_hi))
+    th_star = hi  # first point at/inside the surface
+    y_star = hermite_interp(y0, y1, f0, f1, dt, th_star)
+    return crossed, th_star, y_star
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+class _LoopState(NamedTuple):
+    y: jax.Array
+    lam: jax.Array
+    dt: jax.Array
+    k1: jax.Array
+    active: jax.Array
+    hit: jax.Array
+    steps: jax.Array
+    err_old: jax.Array
+    it: jax.Array
+
+
+def _make_step_body(rhs: RHS, event_fn: EventFn, cfg: IntegratorConfig):
+    """Shared loop body for while_loop and scan drivers."""
+    stepper = tsit5_step if cfg.method == "tsit5" else rk4_step
+    adaptive = cfg.method == "tsit5"
+
+    def body(st: _LoopState) -> _LoopState:
+        dtype = st.y.dtype
+        lam_left = jnp.asarray(cfg.lam_max, dtype) - st.lam
+        dt_try = jnp.minimum(st.dt, lam_left)
+        dt_try = jnp.maximum(dt_try, cfg.dt_min)
+
+        y_new, err, k_last = stepper(rhs, st.y, dt_try, st.k1)
+
+        if adaptive:
+            en = error_norm(err, st.y, y_new, cfg.rtol, cfg.atol)
+            # Guard NaN/Inf states (e.g. ray fell into the singularity):
+            bad = ~jnp.isfinite(en) | ~jnp.all(jnp.isfinite(y_new), axis=-1)
+            en = jnp.where(bad, jnp.inf, en)
+            accept = en <= 1.0
+            # PI controller (accepted) / plain shrink (rejected)
+            en_c = jnp.maximum(en, 1e-10)
+            q_pi = (cfg.safety * en_c ** (-cfg.beta1)
+                    * jnp.maximum(st.err_old, 1e-10) ** cfg.beta2)
+            q_rej = cfg.safety * en_c ** (-0.2)
+            q = jnp.where(accept, q_pi, jnp.minimum(q_rej, 1.0))
+            q = jnp.clip(q, cfg.qmin, cfg.qmax)
+            dt_next = jnp.clip(dt_try * q, cfg.dt_min, cfg.lam_max)
+            # A perpetually-bad ray (NaN) would never accept; kill it.
+            dead = bad & (dt_try <= 2 * cfg.dt_min)
+        else:
+            en = jnp.ones(st.y.shape[0], dtype)
+            accept = jnp.ones(st.y.shape[0], dtype=bool)
+            dt_next = jnp.full_like(st.dt, cfg.rk4_dt)
+            dead = jnp.zeros(st.y.shape[0], dtype=bool)
+
+        do = st.active & accept
+        crossed, th_star, y_star = _locate_event(
+            event_fn, st.y, y_new, st.k1, k_last, dt_try, cfg)
+        hit_now = do & crossed
+
+        y_acc = jnp.where(hit_now[..., None], y_star, y_new)
+        lam_acc = st.lam + jnp.where(hit_now, th_star * dt_try, dt_try)
+        done_span = lam_acc >= cfg.lam_max - 1e-12
+
+        y = jnp.where(do[..., None], y_acc, st.y)
+        lam = jnp.where(do, lam_acc, st.lam)
+        k1 = jnp.where(do[..., None], k_last, st.k1)
+        hit = st.hit | hit_now
+        active = st.active & ~hit_now & ~(do & done_span) & ~dead
+        steps = st.steps + do.astype(st.steps.dtype)
+        dt = jnp.where(st.active, dt_next, st.dt)
+        err_old = jnp.where(do, jnp.maximum(en, 1e-10), st.err_old)
+
+        return _LoopState(y=y, lam=lam, dt=dt, k1=k1, active=active, hit=hit,
+                          steps=steps, err_old=err_old, it=st.it + 1)
+
+    return body
+
+
+def _init_state(rhs, y0, cfg: IntegratorConfig) -> _LoopState:
+    B = y0.shape[0]
+    dtype = y0.dtype
+    if cfg.method == "tsit5":
+        dt0 = hairer_init_dt(rhs, y0, cfg.rtol, cfg.atol, 5, cfg.lam_max)
+    else:
+        dt0 = jnp.full((B,), cfg.rk4_dt, dtype)
+    return _LoopState(
+        y=y0,
+        lam=jnp.zeros((B,), dtype),
+        dt=dt0.astype(dtype),
+        k1=rhs(y0),
+        active=jnp.ones((B,), bool),
+        hit=jnp.zeros((B,), bool),
+        steps=jnp.zeros((B,), jnp.int32),
+        err_old=jnp.ones((B,), dtype),
+        it=jnp.zeros((), jnp.int32),
+    )
+
+
+def integrate_rays(rhs: RHS, event_fn: EventFn, y0: jax.Array,
+                   cfg: IntegratorConfig) -> TraceResult:
+    """Forward fast path: masked batched stepping in a ``lax.while_loop``
+    until every ray has hit a surface, exhausted the lambda span, or died.
+
+    Equivalent of ``solve(EnsembleProblem(...), Tsit5(), callback=...)`` at
+    RayTraceGR.jl:507-511, as one fixed-shape array program.
+    """
+    body = _make_step_body(rhs, event_fn, cfg)
+    st0 = _init_state(rhs, y0, cfg)
+
+    def cond(st: _LoopState):
+        return jnp.any(st.active) & (st.it < cfg.max_steps)
+
+    st = lax.while_loop(cond, body, st0)
+    return TraceResult(y=st.y, lam=st.lam, hit=st.hit, steps=st.steps,
+                       n_iters=st.it)
+
+
+def integrate_rays_scan(rhs: RHS, event_fn: EventFn, y0: jax.Array,
+                        cfg: IntegratorConfig) -> TraceResult:
+    """Differentiable path: same step body under a bounded ``lax.scan`` so
+    reverse-mode AD applies (while_loop is not reverse-differentiable).
+    Always runs ``max_steps`` iterations with masked updates."""
+    body = _make_step_body(rhs, event_fn, cfg)
+    st0 = _init_state(rhs, y0, cfg)
+
+    def scan_body(st, _):
+        return body(st), None
+
+    st, _ = lax.scan(scan_body, st0, None, length=cfg.max_steps)
+    return TraceResult(y=st.y, lam=st.lam, hit=st.hit, steps=st.steps,
+                       n_iters=st.it)

@@ -1,0 +1,137 @@
+"""Spacetime metrics, TPU-native.
+
+Brand-new JAX implementations of the metric layer of the reference
+(reference: /root/reference/src/RayTraceGR.jl:253-294). Functions are written
+point-wise over a single event ``x`` of shape ``[4]`` using only elementwise
+jnp ops, so they compose freely with ``jax.vmap`` (ray batches), ``jax.jacfwd``
+(metric derivatives, replacing the reference's hand-rolled dual numbers),
+``jax.grad`` (parameter gradients — something the reference cannot do at all)
+and Pallas tracing (lane-batched kernels).
+
+Key deltas from the reference, by design (SURVEY.md §7):
+  * ``kerr_schild`` exposes mass ``M`` and spin ``a`` as traced, differentiable
+    parameters (the reference hard-codes M=1, a=0 at RayTraceGR.jl:276-277).
+  * The Boyer-Lindquist-like radius has a parity switch: the reference's
+    formula at RayTraceGR.jl:284 misplaces the outer sqrt
+    (``r = sqrt(rho^2-a^2)/2 + sqrt(...)`` instead of
+    ``r = sqrt((rho^2-a^2)/2 + sqrt(...))``).  The golden images were rendered
+    WITH that formula, so ``r_formula="as_written"`` (default) reproduces it
+    bit-for-bit and ``r_formula="textbook"`` gives the standard Kerr-Schild
+    radius.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+D = 4  # spacetime dimension (reference: RayTraceGR.jl:254)
+
+R_AS_WRITTEN = "as_written"
+R_TEXTBOOK = "textbook"
+
+
+class KerrSchildParams(NamedTuple):
+    """Differentiable physics parameters of the Kerr-Schild metric."""
+
+    M: jax.Array | float = 1.0  # black-hole mass
+    a: jax.Array | float = 0.0  # spin parameter (J/M)
+
+
+def eta(dtype=jnp.float64) -> jax.Array:
+    """Minkowski eta_ab = diag(-1, 1, 1, 1)."""
+    return jnp.diag(jnp.array([-1.0, 1.0, 1.0, 1.0], dtype=dtype))
+
+
+def minkowski(x: jax.Array) -> jax.Array:
+    """Minkowski metric g_ab(x) (reference: RayTraceGR.jl:258-264).
+
+    Accepts ``x`` of shape ``[..., 4]`` and returns ``[..., 4, 4]`` so that the
+    same function works pointwise and batched.
+    """
+    x = jnp.asarray(x)
+    g = eta(x.dtype)
+    return jnp.broadcast_to(g, x.shape[:-1] + (D, D))
+
+
+def kerr_schild_radius(
+    rho2: jax.Array, z: jax.Array, a, *, r_formula: str = R_AS_WRITTEN
+) -> jax.Array:
+    """Boyer-Lindquist-like radius r(x) used by the Kerr-Schild form.
+
+    ``as_written`` reproduces the reference formula at RayTraceGR.jl:284
+    (outer sqrt misplaced); ``textbook`` is the standard
+    ``r^2 = (rho^2-a^2)/2 + sqrt(a^2 z^2 + ((rho^2-a^2)/2)^2)``.
+    """
+    half = (rho2 - a * a) / 2
+    inner = jnp.sqrt(a * a * z * z + half * half)
+    if r_formula == R_AS_WRITTEN:
+        # Verbatim RayTraceGR.jl:284: sqrt(rho^2-a^2)/2 + sqrt(...) — the
+        # sqrt applies to (rho^2-a^2) and the /2 comes AFTER, and the outer
+        # sqrt around the whole sum is missing. For a=0: r = rho/2 + rho^2/2.
+        return jnp.sqrt(rho2 - a * a) / 2 + inner
+    elif r_formula == R_TEXTBOOK:
+        return jnp.sqrt(half + inner)
+    raise ValueError(f"unknown r_formula: {r_formula!r}")
+
+
+def kerr_schild(
+    x: jax.Array,
+    params: KerrSchildParams = KerrSchildParams(),
+    *,
+    r_formula: str = R_AS_WRITTEN,
+) -> jax.Array:
+    """Kerr-Schild metric g_ab = eta_ab + f k_a k_b.
+
+    Reference: RayTraceGR.jl:268-294 (Living Reviews in Relativity, Cook 2000,
+    sec. 3.3.1). Generalized: M and a are traced parameters. Shape
+    ``[..., 4] -> [..., 4, 4]``; all ops elementwise over leading dims.
+    """
+    x = jnp.asarray(x)
+    dtype = x.dtype
+    M = jnp.asarray(params.M, dtype)
+    a = jnp.asarray(params.a, dtype)
+
+    xs, ys, zs = x[..., 1], x[..., 2], x[..., 3]
+    rho2 = xs * xs + ys * ys + zs * zs
+    r = kerr_schild_radius(rho2, zs, a, r_formula=r_formula)
+    r2 = r * r
+    f = 2 * M * (r * r2) / (r2 * r2 + a * a * zs * zs)
+
+    denom = r2 + a * a
+    k = jnp.stack(
+        [
+            jnp.ones_like(r),
+            (r * xs + a * ys) / denom,
+            (r * ys - a * xs) / denom,
+            zs / r,
+        ],
+        axis=-1,
+    )  # [..., 4], past-directed null covector k_a
+
+    g = eta(dtype) + f[..., None, None] * k[..., :, None] * k[..., None, :]
+    return g
+
+
+def make_metric(
+    name: str,
+    params: KerrSchildParams | None = None,
+    *,
+    r_formula: str = R_AS_WRITTEN,
+) -> Callable[[jax.Array], jax.Array]:
+    """Build a closed metric function ``x -> g_ab`` from a config name.
+
+    The returned callable has signature ``[..., 4] -> [..., 4, 4]`` and closes
+    over the (possibly traced) physics parameters, which keeps downstream code
+    (geometry, integrators, kernels) metric-agnostic like the reference's
+    generic ``Metric`` type parameter (RayTraceGR.jl:302,321,358).
+    """
+    if name == "minkowski":
+        return minkowski
+    if name == "kerr_schild":
+        p = params if params is not None else KerrSchildParams()
+        return functools.partial(kerr_schild, params=p, r_formula=r_formula)
+    raise ValueError(f"unknown metric: {name!r}")

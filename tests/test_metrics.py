@@ -1,0 +1,126 @@
+"""Metric-layer tests, cloning the reference's analytic oracles
+(/root/reference/test/runtests.jl:12-61) and adding coverage it lacks
+(spinning Kerr, parameter gradients, textbook-vs-as-written radius)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracegr_jl_tpu import (D, KerrSchildParams, christoffel, dmetric,
+                               kerr_schild, make_metric, minkowski)
+
+# The reference's 7 Kerr-Schild probe points (runtests.jl:41-44):
+# x = (0, 2*(i&1), 2*(i&2), 2*(i&4)) for i in 1..7 — origin excluded.
+PROBES = [
+    (0.0, 2.0 * (i & 1), 2.0 * (i & 2), 2.0 * (i & 4)) for i in range(1, 8)
+]
+
+
+class TestMinkowski:
+    """Exact identities (runtests.jl:12-32; exact in f64 since all values
+    are small integers / halves)."""
+
+    def test_diag(self):
+        g = minkowski(jnp.zeros(D))
+        np.testing.assert_array_equal(np.asarray(g),
+                                      np.diag([-1.0, 1.0, 1.0, 1.0]))
+
+    def test_det_inv_identity(self):
+        x = jnp.array([0.1, -0.3, 0.7, 2.0])
+        g = minkowski(x)
+        gu = jnp.linalg.inv(g)
+        assert float(jnp.linalg.det(g) * jnp.linalg.det(gu)) == 1.0
+        np.testing.assert_array_equal(np.asarray(g @ gu), np.eye(D))
+
+    def test_dmetric_zero(self):
+        x = jnp.array([0.0, 1.0, 2.0, 3.0])
+        g, dg = dmetric(minkowski, x)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(minkowski(x)))
+        np.testing.assert_array_equal(np.asarray(dg), np.zeros((D, D, D)))
+
+    def test_christoffel_zero(self):
+        x = jnp.array([0.0, 1.0, 2.0, 3.0])
+        gamma = christoffel(minkowski, x)
+        np.testing.assert_array_equal(np.asarray(gamma), np.zeros((D, D, D)))
+
+
+class TestKerrSchild:
+    """det/inverse/NaN checks at the 7 probe points (runtests.jl:36-61),
+    f64 with tol = eps^(3/4) scaled like the reference's Float32 run."""
+
+    tol = float(np.finfo(np.float64).eps) ** 0.75
+
+    @pytest.mark.parametrize("x", PROBES)
+    def test_no_nans(self, x):
+        g = kerr_schild(jnp.array(x))
+        assert not bool(jnp.any(jnp.isnan(g)))
+
+    @pytest.mark.parametrize("x", PROBES)
+    def test_det_inverse(self, x):
+        g = kerr_schild(jnp.array(x))
+        gu = jnp.linalg.inv(g)
+        assert abs(float(jnp.linalg.det(g) * jnp.linalg.det(gu)) - 1) <= 1e-10
+        assert float(jnp.max(jnp.abs(g @ gu - jnp.eye(D)))) <= 1e-10
+
+    @pytest.mark.parametrize("x", PROBES)
+    def test_dmetric_primal_matches(self, x):
+        xv = jnp.array(x)
+        g, dg = dmetric(kerr_schild, xv)
+        np.testing.assert_allclose(np.asarray(g),
+                                   np.asarray(kerr_schild(xv)), rtol=0)
+
+    @pytest.mark.parametrize("x", PROBES)
+    def test_christoffel_no_nans(self, x):
+        gamma = christoffel(kerr_schild, jnp.array(x))
+        assert not bool(jnp.any(jnp.isnan(gamma)))
+
+    def test_dmetric_matches_finite_differences(self):
+        """Beyond the reference: check dg VALUES, not just NaN-freeness."""
+        x = jnp.array([0.0, 2.0, 1.0, 3.0])
+        _, dg = dmetric(kerr_schild, x)
+        eps = 1e-6
+        for c in range(D):
+            dx = jnp.zeros(D).at[c].set(eps)
+            fd = (kerr_schild(x + dx) - kerr_schild(x - dx)) / (2 * eps)
+            np.testing.assert_allclose(np.asarray(dg[..., c]),
+                                       np.asarray(fd), atol=1e-8)
+
+    def test_as_written_radius_quirk(self):
+        """The reference's misplaced sqrt (RayTraceGR.jl:284): for a=0,
+        r = rho/2 + rho^2/2, NOT rho."""
+        x = jnp.array([0.0, 3.0, 0.0, 0.0])  # rho = 3
+        m_w = make_metric("kerr_schild", r_formula="as_written")
+        m_t = make_metric("kerr_schild", r_formula="textbook")
+        # textbook r = rho = 3 => f = 2M/r = 2/3; k=(1,1,0,0) => g_tt=-1+2/3
+        g_t = m_t(x)
+        np.testing.assert_allclose(float(g_t[0, 0]), -1 + 2 / 3, rtol=1e-12)
+        # as-written r = 1.5 + 4.5 = 6 => f = 2/6 = 1/3 => g_tt = -1+1/3
+        g_w = m_w(x)
+        np.testing.assert_allclose(float(g_w[0, 0]), -1 + 1 / 3, rtol=1e-12)
+
+    def test_spinning_no_nans(self):
+        """a != 0 (the reference comments this out; we support it)."""
+        params = KerrSchildParams(M=1.0, a=0.8)
+        for x in PROBES:
+            g = kerr_schild(jnp.array(x), params, r_formula="textbook")
+            assert not bool(jnp.any(jnp.isnan(g)))
+
+    def test_parameter_gradients(self):
+        """Reverse-mode d(g_tt)/dM — impossible in the reference."""
+        x = jnp.array([0.0, 2.0, 1.0, 0.5])
+
+        def gtt(M):
+            return kerr_schild(x, KerrSchildParams(M=M, a=0.0))[0, 0]
+
+        dM = jax.grad(gtt)(1.0)
+        eps = 1e-6
+        fd = (gtt(1.0 + eps) - gtt(1.0 - eps)) / (2 * eps)
+        np.testing.assert_allclose(float(dM), float(fd), rtol=1e-6)
+
+    def test_batched_equals_pointwise(self):
+        xs = jnp.array(PROBES)
+        g_batch = kerr_schild(xs)
+        g_point = jnp.stack([kerr_schild(x) for x in xs])
+        np.testing.assert_allclose(np.asarray(g_batch), np.asarray(g_point),
+                                   rtol=0)
