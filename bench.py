@@ -1,0 +1,68 @@
+"""Benchmark: rays/s on the flagship Kerr-Schild render (the reference's
+example2 workload, /root/reference/src/RayTraceGR.jl:578-612), timed post-JIT
+like the reference's time.sh (second run counts).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+`vs_baseline` is rays/s relative to the measured Julia multi-threaded
+reference throughput recorded in BASELINE.md (when measured); until then it
+is reported against the BASELINE.json target proxy.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Measured on this machine's CPU (see BASELINE.md "To be measured"): the
+# Julia reference example2 (40k rays, multithreaded, post-JIT). Until the
+# Julia runtime is available to measure, use the conservative estimate from
+# BASELINE.md; update when measured.
+JULIA_REF_RAYS_PER_S = 20_000.0
+
+
+def bench(ni=200, nj=200, dtype=jnp.float32, repeats=3):
+    from raytracegr_jl_tpu import IntegratorConfig, RenderConfig, render_fn
+    from raytracegr_jl_tpu.models.scenes import build, example2_spec
+    from raytracegr_jl_tpu.render import default_tol
+
+    spec = example2_spec(ni, nj)
+    metric, scene, canvas = build(spec, dtype)
+    tol = default_tol(dtype)
+    cfg = RenderConfig(integrator=IntegratorConfig(
+        method="tsit5", rtol=tol, atol=tol, max_steps=20_000))
+    fn = jax.jit(render_fn(metric, scene, cfg))
+
+    # warm-up / compile (excluded, like time.sh's first @time run)
+    rgb = jax.block_until_ready(fn(canvas.pos, canvas.normal))
+
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        rgb = jax.block_until_ready(fn(canvas.pos, canvas.normal))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    n_rays = ni * nj
+    return n_rays / best, best, rgb
+
+
+def main():
+    ni = nj = 200
+    if len(sys.argv) > 1:
+        ni = nj = int(sys.argv[1])
+    rays_per_s, secs, _ = bench(ni, nj)
+    print(json.dumps({
+        "metric": "kerr_schild_render_rays_per_s",
+        "value": round(rays_per_s, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_s / JULIA_REF_RAYS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

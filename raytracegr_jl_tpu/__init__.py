@@ -19,7 +19,7 @@ from .ops.metrics import (D, KerrSchildParams, kerr_schild, make_metric,
 from .ops.geometry import (Ray, christoffel, dmetric, geodesic, r2s, s2r)
 from .ops.integrate import IntegratorConfig, TraceResult, integrate_rays
 from .models.objects import (Plane, Scene, Sphere, distances, make_scene,
-                             min_distance, shade)
+                             min_distance, shade, shade_soft)
 from .models.camera import Canvas, make_canvas
 from .models.scenes import (SceneSpec, build, example1, example1_spec,
                             example2, example2_spec, render_spec)

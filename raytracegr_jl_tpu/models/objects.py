@@ -116,11 +116,16 @@ def min_distance(scene: Scene, s: jax.Array) -> jax.Array:
     return jnp.min(distances(scene, s[..., :D]), axis=-1)
 
 
-def colors(scene: Scene, x: jax.Array) -> jax.Array:
+def colors(scene: Scene, x: jax.Array, smooth: bool = False) -> jax.Array:
     """RGB color of EVERY object at point(s) x: ``[..., 4] -> [..., N, 3]``.
 
     Sphere: 12x12 checkered lat/long from spherical angles of the hit point
     (RayTraceGR.jl:420-428). Plane: constant (0, 1/2, 0) (RayTraceGR.jl:402-404).
+
+    ``smooth=True`` replaces the sawtooth checker ``mod(t, 1)`` (which jumps
+    0<->1 at every cell boundary — fine for display, hostile to gradient
+    descent) with the same-period smooth wave ``(1-cos(2 pi t))/2`` for
+    inverse rendering.
     """
     rel = x[..., None, 1:] - scene.pos[..., :, 1:]  # [..., N, 3]
     xx, yy, zz = rel[..., 0], rel[..., 1], rel[..., 2]
@@ -128,10 +133,14 @@ def colors(scene: Scene, x: jax.Array) -> jax.Array:
     # Guard r=0 (ray exactly at a center never happens on hits; avoids NaN grads)
     theta = jnp.arccos(jnp.clip(zz / jnp.where(r == 0, 1.0, r), -1.0, 1.0))
     phi = jnp.arctan2(yy, xx)
+    if smooth:
+        wave = lambda t: 0.5 - 0.5 * jnp.cos(2 * jnp.pi * t)
+    else:
+        wave = lambda t: jnp.mod(t, 1.0)
     sphere_rgb = jnp.stack(
         [
-            jnp.mod(12 * theta / jnp.pi, 1.0),
-            jnp.mod(12 * phi / jnp.pi, 1.0),
+            wave(12 * theta / jnp.pi),
+            wave(12 * phi / jnp.pi),
             jnp.ones_like(r),
         ],
         axis=-1,
@@ -160,3 +169,31 @@ def shade(scene: Scene, x: jax.Array, hit_dmin: float = 0.01) -> jax.Array:
     col = col * dim[..., None]
     miss = jnp.array([1.0, 0.0, 0.0], col.dtype)
     return jnp.where(hit_any[..., None], col, miss)
+
+
+def shade_soft(scene: Scene, x: jax.Array, hit_dmin: float = 0.01,
+               temp: float = 0.05, smooth_colors: bool = True) -> jax.Array:
+    """Differentiable shading: smooth relaxation of ``shade``.
+
+    The reference's shading (argmin object + hard distance threshold,
+    RayTraceGR.jl:513-535) is piecewise constant, so pixel losses carry no
+    gradient through the hit/miss and which-object decisions — only through
+    the hit position. For inverse rendering this replaces both
+    discontinuities with temperature-controlled soft versions:
+
+      * object selection: softmin over distances (softmax of -d/temp),
+      * hit decision: sigmoid((hit_dmin - softmin_d)/temp),
+
+    recovering ``shade`` exactly as temp -> 0. This is a framework
+    capability beyond the reference (its forward-only AD cannot use it).
+    """
+    d = distances(scene, x)  # [..., N]
+    n = scene.n_objects
+    w = jax.nn.softmax(-d / temp, axis=-1)  # [..., N] object weights
+    dim = (jnp.arange(n, dtype=d.dtype) + 1) / n
+    col = colors(scene, x, smooth=smooth_colors) * dim[..., :, None]
+    obj_col = jnp.einsum("...n,...nc->...c", w, col)
+    softmin_d = -temp * jax.nn.logsumexp(-d / temp, axis=-1)
+    p_hit = jax.nn.sigmoid((hit_dmin - softmin_d) / temp)
+    miss = jnp.array([1.0, 0.0, 0.0], col.dtype)
+    return p_hit[..., None] * obj_col + (1 - p_hit[..., None]) * miss

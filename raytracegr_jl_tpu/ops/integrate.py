@@ -75,6 +75,14 @@ class IntegratorConfig(NamedTuple):
     beta1: float = 7.0 / 50.0  # PI controller gains (order-5 defaults)
     beta2: float = 2.0 / 25.0
     dt_min: float = 1e-14
+    # Capture-stop: kill rays whose spatial coordinate radius drops below
+    # this (0 = disabled). For black-hole scenes set it inside the horizon:
+    # nothing there can affect the image, and stopping before the
+    # singularity keeps states finite — essential for reverse-mode AD,
+    # where a NaN trajectory poisons gradients of every parameter even if
+    # the forward pass masks it. (The reference instead grinds captured
+    # rays to dtmin and aborts, RayTraceGR.jl has no gradients to protect.)
+    stop_rho: float = 0.0
 
 
 class TraceResult(NamedTuple):
@@ -198,8 +206,31 @@ def _locate_event(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
         hi = jnp.where(d_mid > 0.0, hi, mid)
         return lo, hi
 
-    lo, hi = lax.fori_loop(0, cfg.bisect_iters, bisect_body, (th_lo, th_hi))
-    th_star = hi  # first point at/inside the surface
+    # Most iterations localize nothing — skip the bisection sweep entirely
+    # unless some ray actually crossed this step (batch-level cond; XLA
+    # executes one branch).
+    def refine(args):
+        lo0, hi0 = args
+        return lax.fori_loop(0, cfg.bisect_iters, bisect_body, (lo0, hi0))
+
+    lo, hi = lax.cond(jnp.any(crossed), refine, lambda a: a, (th_lo, th_hi))
+
+    # Implicit-function-theorem correction (SURVEY.md §7 "gradients through
+    # discrete events"): bisection finds theta* numerically but carries no
+    # gradient through the root condition d(H(theta*)) = 0. One Newton step
+    # from a gradient-stopped theta0 leaves the VALUE unchanged (the residual
+    # is ~0 after bisection) while routing gradients of theta* through the
+    # event function — the d(theta*)/d(params) term the reference's
+    # ContinuousCallback never needed (it has no reverse mode at all).
+    th0 = lax.stop_gradient(hi)
+
+    def resid(theta):
+        return event_fn(hermite_interp(y0, y1, f0, f1, dt, theta))
+
+    val, dval = jax.jvp(resid, (th0,), (jnp.ones_like(th0),))
+    safe = jnp.where(jnp.abs(dval) > 1e-30, dval, 1.0)
+    th_star = jnp.where(jnp.abs(dval) > 1e-30, th0 - val / safe, th0)
+    th_star = jnp.clip(th_star, 0.0, 1.0)
     y_star = hermite_interp(y0, y1, f0, f1, dt, th_star)
     return crossed, th_star, y_star
 
@@ -230,6 +261,9 @@ def _make_step_body(rhs: RHS, event_fn: EventFn, cfg: IntegratorConfig):
         lam_left = jnp.asarray(cfg.lam_max, dtype) - st.lam
         dt_try = jnp.minimum(st.dt, lam_left)
         dt_try = jnp.maximum(dt_try, cfg.dt_min)
+        # A NaN dt (ray whose RHS was NaN from the start) would otherwise
+        # survive every comparison below and stall the loop at max_steps.
+        dt_try = jnp.where(jnp.isfinite(dt_try), dt_try, cfg.dt_min)
 
         y_new, err, k_last = stepper(rhs, st.y, dt_try, st.k1)
 
@@ -247,17 +281,36 @@ def _make_step_body(rhs: RHS, event_fn: EventFn, cfg: IntegratorConfig):
             q = jnp.where(accept, q_pi, jnp.minimum(q_rej, 1.0))
             q = jnp.clip(q, cfg.qmin, cfg.qmax)
             dt_next = jnp.clip(dt_try * q, cfg.dt_min, cfg.lam_max)
-            # A perpetually-bad ray (NaN) would never accept; kill it.
-            dead = bad & (dt_try <= 2 * cfg.dt_min)
+            # Kill rays that cannot proceed: NaN states, or error-control
+            # failure at the minimum step (e.g. plunging into the
+            # singularity). Mirrors OrdinaryDiffEq's dt<=dtmin abort, which
+            # is how the reference's captured rays terminate.
+            dead = (bad | ~accept) & (dt_try <= 2 * cfg.dt_min)
         else:
             en = jnp.ones(st.y.shape[0], dtype)
             accept = jnp.ones(st.y.shape[0], dtype=bool)
             dt_next = jnp.full_like(st.dt, cfg.rk4_dt)
-            dead = jnp.zeros(st.y.shape[0], dtype=bool)
+            # Fixed-step has no rejection: a non-finite state must still
+            # kill the ray (frozen at its last finite state).
+            bad = ~jnp.all(jnp.isfinite(y_new), axis=-1)
+            accept = accept & ~bad
+            dead = bad
+
+        if cfg.stop_rho > 0.0:
+            rho2 = jnp.sum(y_new[..., 1:4] ** 2, axis=-1)
+            dead = dead | (rho2 < cfg.stop_rho**2)
 
         do = st.active & accept
+        # Event localization must never see a non-finite trial state (a ray
+        # dying THIS step): even though its result is discarded for such
+        # rays, NaN primals poison reverse-mode cotangents of the whole
+        # graph. Substitute the (finite) pre-step state — degenerate
+        # interval, crossed=False, harmless.
+        fin = jnp.all(jnp.isfinite(y_new), axis=-1, keepdims=True)
+        y_evt = jnp.where(fin, y_new, st.y)
+        k_evt = jnp.where(fin, k_last, st.k1)
         crossed, th_star, y_star = _locate_event(
-            event_fn, st.y, y_new, st.k1, k_last, dt_try, cfg)
+            event_fn, st.y, y_evt, st.k1, k_evt, dt_try, cfg)
         hit_now = do & crossed
 
         y_acc = jnp.where(hit_now[..., None], y_star, y_new)

@@ -83,12 +83,21 @@ def kerr_schild(
     params: KerrSchildParams = KerrSchildParams(),
     *,
     r_formula: str = R_AS_WRITTEN,
+    rho_min: float = 1e-3,
 ) -> jax.Array:
     """Kerr-Schild metric g_ab = eta_ab + f k_a k_b.
 
     Reference: RayTraceGR.jl:268-294 (Living Reviews in Relativity, Cook 2000,
     sec. 3.3.1). Generalized: M and a are traced parameters. Shape
     ``[..., 4] -> [..., 4, 4]``; all ops elementwise over leading dims.
+
+    ``rho_min`` clamps the coordinate radius away from the ring/point
+    singularity. Evaluations at rho < 1e-3 only ever happen for RK stages of
+    rays already swallowed by the hole (whose pixels shade identically), but
+    an unclamped 1/r there produces inf Jacobians that poison reverse-mode
+    gradients of the WHOLE batch (0-cotangent x inf = NaN). The reference
+    instead @asserts against NaN inputs (RayTraceGR.jl:279) and lets the
+    solver abort; it has no gradients to protect.
     """
     x = jnp.asarray(x)
     dtype = x.dtype
@@ -97,6 +106,7 @@ def kerr_schild(
 
     xs, ys, zs = x[..., 1], x[..., 2], x[..., 3]
     rho2 = xs * xs + ys * ys + zs * zs
+    rho2 = jnp.maximum(rho2, rho_min * rho_min)
     r = kerr_schild_radius(rho2, zs, a, r_formula=r_formula)
     r2 = r * r
     f = 2 * M * (r * r2) / (r2 * r2 + a * a * zs * zs)
@@ -130,8 +140,17 @@ def make_metric(
     generic ``Metric`` type parameter (RayTraceGR.jl:302,321,358).
     """
     if name == "minkowski":
-        return minkowski
+        def fn(x):
+            return minkowski(x)
+        from .pallas_geodesic import minkowski_cm
+        fn.component_major = minkowski_cm()
+        return fn
     if name == "kerr_schild":
         p = params if params is not None else KerrSchildParams()
-        return functools.partial(kerr_schild, params=p, r_formula=r_formula)
+
+        def fn(x):
+            return kerr_schild(x, p, r_formula=r_formula)
+        from .pallas_geodesic import kerr_schild_cm
+        fn.component_major = kerr_schild_cm(p, r_formula)
+        return fn
     raise ValueError(f"unknown metric: {name!r}")

@@ -1,0 +1,426 @@
+"""Fused Pallas TPU kernel: the ENTIRE geodesic integration loop in VMEM.
+
+The XLA path (ops/integrate.py) walks the batched stepper through a
+`lax.while_loop` whose carried [B, 8] state round-trips HBM every iteration.
+This kernel is the speed-of-light version (SURVEY.md §7 step 5): the grid
+tiles the ray batch, each tile's state lives in VMEM for the whole
+integration, and the adaptive Tsit5 loop — metric jvp -> Christoffel ->
+RHS stages -> PI controller -> event detection -> bisection — runs fused on
+the VPU with rays laid along the 128-lane axis.
+
+Layout: component-major. A tile holds S*128 rays; every per-ray scalar is an
+``(S, 128)`` f32 array (full 8x128 VPU utilization for S>=8) and the 8-vector
+ray state is ``(8, S, 128)``. The 4x4 metric inverse is a closed-form
+adjugate (no linalg on the lane axis), and the metric derivative is taken by
+``jax.jvp`` traced INSIDE the kernel — the same forward-mode derivative the
+reference's dual numbers computed (/root/reference/src/RayTraceGR.jl:298-313),
+now vectorized across lanes.
+
+Per-tile early exit: the kernel's while_loop stops as soon as every ray in
+the tile terminated, so a tile of easy rays (flat region) costs few
+iterations while a tile near the photon ring runs long — divergence costs
+are paid per ~1k-ray tile, not per whole batch (the XLA while_loop runs
+every iteration for ALL rays until the LAST ray finishes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .integrate import TS_A, TS_BTILDE, IntegratorConfig, TraceResult
+
+# Rays per tile = TILE_S * 128.
+TILE_S = 8
+LANES = 128
+
+MetricCM = Callable[[jax.Array], jax.Array]  # (4, S, 128) -> (4, 4, S, 128)
+
+
+# ---------------------------------------------------------------------------
+# Component-major differential geometry (mirrors ops/geometry.py, but with
+# the coordinate index leading and ray lanes trailing).
+# ---------------------------------------------------------------------------
+
+def _det3(m, r, c):
+    """3x3 determinant of g with row r / column c removed (g: list-of-list
+    of (S,128) arrays). Static unrolled cofactor expansion."""
+    rs = [i for i in range(4) if i != r]
+    cs = [j for j in range(4) if j != c]
+    a, b, c0 = m[rs[0]][cs[0]], m[rs[0]][cs[1]], m[rs[0]][cs[2]]
+    d, e, f = m[rs[1]][cs[0]], m[rs[1]][cs[1]], m[rs[1]][cs[2]]
+    g_, h, i = m[rs[2]][cs[0]], m[rs[2]][cs[1]], m[rs[2]][cs[2]]
+    return a * (e * i - f * h) - b * (d * i - f * g_) + c0 * (d * h - e * g_)
+
+
+def sym4_inv(g: jax.Array) -> jax.Array:
+    """Closed-form inverse of a symmetric 4x4 metric, batched over lanes.
+
+    ``g``: (4, 4, S, 128) -> (4, 4, S, 128). Adjugate/determinant expansion,
+    fully elementwise on the VPU (jnp.linalg.inv does not lower in Mosaic).
+    """
+    m = [[g[a, b] for b in range(4)] for a in range(4)]
+    # det via first-row cofactor expansion
+    cof0 = [((-1) ** c) * _det3(m, 0, c) for c in range(4)]
+    det = sum(m[0][c] * cof0[c] for c in range(4))
+    inv_det = 1.0 / det
+    rows = []
+    for a in range(4):
+        row = []
+        for b in range(4):
+            # adjugate: transpose of cofactor matrix; g symmetric => same
+            sign = (-1) ** (a + b)
+            row.append(sign * _det3(m, b, a) * inv_det)
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def dmetric_cm(metric_cm: MetricCM, x: jax.Array):
+    """(g, dg) with ``dg[c, a, b] = d_c g_ab``; x: (4, S, 128)."""
+    def jvp_c(c):
+        tangent = jnp.zeros_like(x).at[c].set(1.0)
+        return jax.jvp(metric_cm, (x,), (tangent,))
+
+    g, d0 = jvp_c(0)
+    _, d1 = jvp_c(1)
+    _, d2 = jvp_c(2)
+    _, d3 = jvp_c(3)
+    return g, jnp.stack([d0, d1, d2, d3])  # (4, 4, 4, S, 128)
+
+
+def christoffel_cm(metric_cm: MetricCM, x: jax.Array) -> jax.Array:
+    """Gamma^a_bc as (4, 4, 4, S, 128); mirrors ops/geometry.christoffel."""
+    g, dg = dmetric_cm(metric_cm, x)
+    gu = sym4_inv(g)
+    # Gamma_l[d,b,c] = (d_c g_db + d_b g_dc - d_d g_bc)/2
+    rows = []
+    for a in range(4):
+        mat = []
+        for b in range(4):
+            row = []
+            for c in range(4):
+                acc = None
+                for d in range(4):
+                    gl = 0.5 * (dg[c, d, b] + dg[b, d, c] - dg[d, b, c])
+                    term = gu[a, d] * gl
+                    acc = term if acc is None else acc + term
+                row.append(acc)
+            mat.append(jnp.stack(row))
+        rows.append(jnp.stack(mat))
+    return jnp.stack(rows)
+
+
+def geodesic_cm(metric_cm: MetricCM, y: jax.Array) -> jax.Array:
+    """RHS on component-major state: y (8, S, 128) -> ydot (8, S, 128)."""
+    x, u = y[:4], y[4:]
+    gamma = christoffel_cm(metric_cm, x)
+    udot = []
+    for a in range(4):
+        acc = None
+        for b in range(4):
+            for c in range(4):
+                term = gamma[a, b, c] * u[b] * u[c]
+                acc = term if acc is None else acc + term
+        udot.append(-acc)
+    return jnp.concatenate([u, jnp.stack(udot)])
+
+
+def kerr_schild_cm(params, r_formula: str):
+    """Component-major Kerr-Schild metric closure: (4,S,128) -> (4,4,S,128).
+
+    Same math as ops/metrics.kerr_schild (reference RayTraceGR.jl:268-294)
+    re-expressed with the coordinate index leading.
+    """
+    from .metrics import R_AS_WRITTEN, R_TEXTBOOK
+
+    def metric_cm(x):
+        dtype = x.dtype
+        M = jnp.asarray(params.M, dtype)
+        a = jnp.asarray(params.a, dtype)
+        xs, ys, zs = x[1], x[2], x[3]
+        rho2 = xs * xs + ys * ys + zs * zs
+        rho2 = jnp.maximum(rho2, 1e-6)  # rho_min=1e-3, as in metrics.kerr_schild
+        half = (rho2 - a * a) / 2
+        inner = jnp.sqrt(a * a * zs * zs + half * half)
+        if r_formula == R_AS_WRITTEN:
+            r = jnp.sqrt(rho2 - a * a) / 2 + inner
+        elif r_formula == R_TEXTBOOK:
+            r = jnp.sqrt(half + inner)
+        else:
+            raise ValueError(r_formula)
+        r2 = r * r
+        f = 2 * M * (r * r2) / (r2 * r2 + a * a * zs * zs)
+        denom = r2 + a * a
+        k = [jnp.ones_like(r), (r * xs + a * ys) / denom,
+             (r * ys - a * xs) / denom, zs / r]
+        eta_diag = (-1.0, 1.0, 1.0, 1.0)
+        rows = []
+        for i in range(4):
+            row = []
+            for j in range(4):
+                gij = f * k[i] * k[j]
+                if i == j:
+                    gij = gij + eta_diag[i]
+                row.append(gij)
+            rows.append(jnp.stack(row))
+        return jnp.stack(rows)
+
+    return metric_cm
+
+
+def minkowski_cm():
+    def metric_cm(x):
+        zero = jnp.zeros_like(x[0])
+        one = jnp.ones_like(x[0])
+        rows = []
+        for i in range(4):
+            rows.append(jnp.stack(
+                [(-one if i == 0 else one) if i == j else zero
+                 for j in range(4)]))
+        return jnp.stack(rows)
+    return metric_cm
+
+
+# ---------------------------------------------------------------------------
+# Component-major scene: event + distance (mirrors models/objects.py).
+# ---------------------------------------------------------------------------
+
+def scene_event_cm(scene):
+    """min-distance event on component-major state (8, S, 128) -> (S, 128).
+
+    Scene params enter as trace-time constants (the scene is static per
+    render); kinds are Python ints so the per-object branch unrolls.
+    """
+    import numpy as np
+    from ..models.objects import KIND_SPHERE
+
+    kind = np.asarray(scene.kind)
+    pos = np.asarray(scene.pos)
+    radius = np.asarray(scene.radius)
+    time = np.asarray(scene.time)
+
+    def event(y):
+        t, xs, ys, zs = y[0], y[1], y[2], y[3]
+        d = None
+        for i in range(kind.shape[0]):
+            if kind[i] == KIND_SPHERE:
+                dx = xs - pos[i, 1]
+                dy = ys - pos[i, 2]
+                dz = zs - pos[i, 3]
+                di = np.sign(radius[i]) * (
+                    dx * dx + dy * dy + dz * dz - radius[i] * radius[i])
+            else:
+                di = t - time[i]
+            d = di if d is None else jnp.minimum(d, di)
+        return d
+
+    return event
+
+
+# ---------------------------------------------------------------------------
+# The fused kernel
+# ---------------------------------------------------------------------------
+
+def _tsit5_step_cm(f, y, dt, k1):
+    """Tsit5 stage sweep, component-major: y (8,S,128), dt (S,128)."""
+    k2 = f(y + dt * (TS_A[0][0] * k1))
+    k3 = f(y + dt * (TS_A[1][0] * k1 + TS_A[1][1] * k2))
+    k4 = f(y + dt * (TS_A[2][0] * k1 + TS_A[2][1] * k2 + TS_A[2][2] * k3))
+    k5 = f(y + dt * (TS_A[3][0] * k1 + TS_A[3][1] * k2 + TS_A[3][2] * k3
+                     + TS_A[3][3] * k4))
+    k6 = f(y + dt * (TS_A[4][0] * k1 + TS_A[4][1] * k2 + TS_A[4][2] * k3
+                     + TS_A[4][3] * k4 + TS_A[4][4] * k5))
+    y5 = y + dt * (TS_A[5][0] * k1 + TS_A[5][1] * k2 + TS_A[5][2] * k3
+                   + TS_A[5][3] * k4 + TS_A[5][4] * k5 + TS_A[5][5] * k6)
+    k7 = f(y5)
+    err = dt * (TS_BTILDE[0] * k1 + TS_BTILDE[1] * k2 + TS_BTILDE[2] * k3
+                + TS_BTILDE[3] * k4 + TS_BTILDE[4] * k5 + TS_BTILDE[5] * k6
+                + TS_BTILDE[6] * k7)
+    return y5, err, k7
+
+
+def _hermite_cm(y0, y1, f0, f1, dt, th):
+    return ((1 - th) * y0 + th * y1
+            + th * (th - 1) * ((1 - 2 * th) * (y1 - y0)
+                               + (th - 1) * dt * f0 + th * dt * f1))
+
+
+def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
+    """First-crossing localization; shapes (8,S,128)/(S,128)."""
+    dtype = y0.dtype
+    d_prev = event_fn(y0)
+    npts = cfg.interp_points
+    th_lo = jnp.zeros_like(d_prev)
+    th_hi = jnp.zeros_like(d_prev)
+    found = jnp.zeros_like(d_prev, dtype=bool)
+    prev_th = jnp.zeros_like(d_prev)
+    for i in range(1, npts + 1):
+        th = jnp.full_like(d_prev, i / npts)
+        d = event_fn(_hermite_cm(y0, y1, f0, f1, dt, th))
+        new = (d <= 0.0) & ~found
+        th_lo = jnp.where(new, prev_th, th_lo)
+        th_hi = jnp.where(new, th, th_hi)
+        found = found | new
+        prev_th = th
+    crossed = found & (d_prev > 0.0)
+
+    def bisect_body(_, carry):
+        lo, hi = carry
+        mid = 0.5 * (lo + hi)
+        d_mid = event_fn(_hermite_cm(y0, y1, f0, f1, dt, mid))
+        gt = d_mid > 0.0
+        return jnp.where(gt, mid, lo), jnp.where(gt, hi, mid)
+
+    lo, hi = lax.fori_loop(0, cfg.bisect_iters, bisect_body, (th_lo, th_hi))
+    y_star = _hermite_cm(y0, y1, f0, f1, dt, hi)
+    return crossed, hi, y_star
+
+
+def _make_kernel(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
+    rhs = functools.partial(geodesic_cm, metric_cm)
+    adaptive = cfg.method == "tsit5"
+
+    def kernel(y_ref, dt_ref, act_ref, yo_ref, lam_ref, hit_ref, steps_ref):
+        y0_tile = y_ref[:]                      # (8, S, 128)
+        dt0 = dt_ref[:]                         # (S, 128)
+        act0 = act_ref[:] > 0                   # (S, 128) bool
+        dtype = y0_tile.dtype
+        zero = jnp.zeros_like(dt0)
+
+        def cond(st):
+            y, lam, dt, k1, active, hit, steps, err_old, it = st
+            return jnp.any(active) & (it < cfg.max_steps)
+
+        def body(st):
+            y, lam, dt, k1, active, hit, steps, err_old, it = st
+            lam_left = cfg.lam_max - lam
+            dt_try = jnp.maximum(jnp.minimum(dt, lam_left), cfg.dt_min)
+
+            if adaptive:
+                y_new, err, k_last = _tsit5_step_cm(rhs, y, dt_try, k1)
+                sc = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(y),
+                                                       jnp.abs(y_new))
+                en = jnp.sqrt(jnp.mean((err / sc) ** 2, axis=0))
+                bad = ~jnp.isfinite(en) | ~jnp.all(jnp.isfinite(y_new),
+                                                   axis=0)
+                en = jnp.where(bad, jnp.inf, en)
+                accept = en <= 1.0
+                en_c = jnp.maximum(en, 1e-10)
+                q_pi = (cfg.safety * en_c ** (-cfg.beta1)
+                        * jnp.maximum(err_old, 1e-10) ** cfg.beta2)
+                q_rej = cfg.safety * en_c ** (-0.2)
+                q = jnp.where(accept, q_pi, jnp.minimum(q_rej, 1.0))
+                q = jnp.clip(q, cfg.qmin, cfg.qmax)
+                dt_next = jnp.clip(dt_try * q, cfg.dt_min, cfg.lam_max)
+                dead = bad & (dt_try <= 2 * cfg.dt_min)
+            else:
+                y_new, err, k_last = _rk4_step_cm(rhs, y, dt_try, k1)
+                accept = jnp.ones_like(act0)
+                en = jnp.ones_like(dt0)
+                dt_next = jnp.full_like(dt0, cfg.rk4_dt)
+                dead = jnp.zeros_like(act0)
+
+            do = active & accept
+            crossed, th_star, y_star = _locate_event_cm(
+                event_fn, y, y_new, k1, k_last, dt_try, cfg)
+            hit_now = do & crossed
+
+            y_acc = jnp.where(hit_now, y_star, y_new)
+            lam_acc = lam + jnp.where(hit_now, th_star * dt_try, dt_try)
+            done_span = lam_acc >= cfg.lam_max - 1e-6
+
+            y = jnp.where(do, y_acc, y)
+            lam = jnp.where(do, lam_acc, lam)
+            k1 = jnp.where(do, k_last, k1)
+            hit = hit | hit_now
+            active = active & ~hit_now & ~(do & done_span) & ~dead
+            steps = steps + do.astype(steps.dtype)
+            dt = jnp.where(active, dt_next, dt)
+            err_old = jnp.where(do, jnp.maximum(en, 1e-10), err_old)
+            return (y, lam, dt, k1, active, hit, steps, err_old, it + 1)
+
+        k1_0 = rhs(y0_tile)
+        st0 = (y0_tile, zero, dt0, k1_0, act0,
+               jnp.zeros_like(act0), jnp.zeros(dt0.shape, jnp.int32),
+               jnp.ones_like(dt0), jnp.zeros((), jnp.int32))
+        y, lam, dt, k1, active, hit, steps, err_old, it = lax.while_loop(
+            cond, body, st0)
+
+        yo_ref[:] = y
+        lam_ref[:] = lam
+        hit_ref[:] = hit.astype(jnp.int32)
+        steps_ref[:] = steps
+
+    return kernel
+
+
+def _rk4_step_cm(f, y, dt, k1):
+    k2 = f(y + 0.5 * dt * k1)
+    k3 = f(y + 0.5 * dt * k2)
+    k4 = f(y + dt * k3)
+    y1 = y + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    return y1, jnp.zeros_like(y1), f(y1)
+
+
+def integrate_rays_pallas(metric_cm: MetricCM, event_fn, y0: jax.Array,
+                          dt0: jax.Array, cfg: IntegratorConfig,
+                          *, interpret: bool = False) -> TraceResult:
+    """Run the fused kernel over a ray batch.
+
+    ``y0``: [B, 8] (row-major like the XLA path); ``dt0``: [B] initial step
+    sizes (computed outside, e.g. hairer_init_dt). Pads B up to a multiple of
+    TILE_S*128, reshapes to component-major tiles, launches the grid, and
+    unpacks back to a TraceResult matching ops/integrate.integrate_rays.
+    """
+    B = y0.shape[0]
+    dtype = y0.dtype
+    tile = TILE_S * LANES
+    n_tiles = -(-B // tile)
+    Bp = n_tiles * tile
+    R = Bp // LANES  # rows of 128 rays
+
+    pad = Bp - B
+    y0p = jnp.pad(y0, ((0, pad), (0, 0)))
+    dt0p = jnp.pad(dt0, (0, pad), constant_values=1.0)
+    act = jnp.pad(jnp.ones((B,), jnp.int32), (0, pad))
+
+    # [Bp, 8] -> (8, R, 128): component-major, rays on lanes.
+    y_cm = y0p.T.reshape(8, R, LANES)
+    dt_cm = dt0p.reshape(R, LANES)
+    act_cm = act.reshape(R, LANES)
+
+    kernel = _make_kernel(metric_cm, event_fn, cfg)
+    grid = (n_tiles,)
+    state_spec = pl.BlockSpec((8, TILE_S, LANES), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((TILE_S, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    iray_spec = pl.BlockSpec((TILE_S, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+
+    y, lam, hit, steps = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[state_spec, ray_spec, iray_spec],
+        out_specs=(state_spec, ray_spec, iray_spec, iray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((8, R, LANES), dtype),
+            jax.ShapeDtypeStruct((R, LANES), dtype),
+            jax.ShapeDtypeStruct((R, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((R, LANES), jnp.int32),
+        ),
+        interpret=interpret,
+    )(y_cm, dt_cm, act_cm)
+
+    y_out = y.reshape(8, Bp).T[:B]
+    lam_out = lam.reshape(Bp)[:B]
+    hit_out = hit.reshape(Bp)[:B] > 0
+    steps_out = steps.reshape(Bp)[:B]
+    return TraceResult(y=y_out, lam=lam_out, hit=hit_out, steps=steps_out,
+                       n_iters=jnp.zeros((), jnp.int32))

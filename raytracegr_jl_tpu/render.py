@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .models.camera import Canvas
-from .models.objects import Scene, min_distance, shade
+from .models.objects import Scene, min_distance, shade, shade_soft
 from .ops.geometry import MetricFn, geodesic
 from .ops.integrate import (IntegratorConfig, TraceResult, integrate_rays,
                             integrate_rays_scan)
@@ -33,6 +33,10 @@ class RenderConfig(NamedTuple):
     integrator: IntegratorConfig = IntegratorConfig()
     hit_dmin: float = 0.01
     differentiable: bool = False  # scan (grad-capable) vs while_loop (fast)
+    backend: str = "xla"  # "xla" | "pallas" (fused VMEM-resident TPU kernel)
+    pallas_interpret: bool = False  # run the Pallas kernel interpreted (CPU)
+    soft_temp: float | None = None  # None => reference hard shading;
+    # a float => differentiable soft shading (models/objects.shade_soft)
 
 
 def default_tol(dtype) -> float:
@@ -41,12 +45,63 @@ def default_tol(dtype) -> float:
 
 
 def trace_batch(metric: MetricFn, scene: Scene, y0: jax.Array,
-                cfg: RenderConfig) -> TraceResult:
-    """Integrate a flat ray batch ``[B, 8]`` to termination."""
-    rhs = jax.vmap(lambda s: geodesic(s, metric))
+                cfg: RenderConfig, metric_cm=None) -> TraceResult:
+    """Integrate a flat ray batch ``[B, 8]`` to termination.
+
+    ``backend="pallas"`` runs the fused VMEM-resident kernel
+    (ops/pallas_geodesic.py; forward-only). ``metric_cm`` optionally supplies
+    the component-major metric; derived from known metrics otherwise.
+    """
+    rhs = _sanitized_rhs(metric)
     event = lambda y: min_distance(scene, y)
+    if cfg.backend == "pallas":
+        from .ops.integrate import hairer_init_dt
+        from .ops.pallas_geodesic import integrate_rays_pallas, scene_event_cm
+
+        if metric_cm is None:
+            metric_cm = _metric_cm_of(metric)
+        dt0 = hairer_init_dt(rhs, y0, cfg.integrator.rtol, cfg.integrator.atol,
+                             5, cfg.integrator.lam_max)
+        return integrate_rays_pallas(metric_cm, scene_event_cm(scene), y0,
+                                     dt0, cfg.integrator,
+                                     interpret=cfg.pallas_interpret)
     integ = integrate_rays_scan if cfg.differentiable else integrate_rays
     return integ(rhs, event, y0, cfg.integrator)
+
+
+# Magnitude bounds for the sanitized RHS. Physical rays here live at
+# |x| <~ 1e3 (lam_max=100, caelum radius 10, u = O(1..10)); the bounds only
+# bite for garbage states of rays already dying (singularity plunges), whose
+# results are discarded. They exist so no f32 intermediate can overflow to
+# inf: an inf ANYWHERE in the traced graph turns into NaN gradients for the
+# whole batch under reverse AD (0-cotangent x inf-Jacobian), even though the
+# forward pass masks those rays out.
+_STATE_CLAMP = 1e4
+_RHS_CLAMP = 1e4
+
+
+def _sanitized_rhs(metric: MetricFn):
+    def rhs(y):
+        y_safe = jnp.clip(y, -_STATE_CLAMP, _STATE_CLAMP)
+        k = jax.vmap(lambda s: geodesic(s, metric))(y_safe)
+        return jnp.clip(k, -_RHS_CLAMP, _RHS_CLAMP)
+    return rhs
+
+
+def _metric_cm_of(metric: MetricFn):
+    """Component-major metric ``(4,...)->(4,4,...)`` for the Pallas kernel:
+    prefer the hand-laid-out version attached by make_metric (no lane-axis
+    transposes inside the kernel); otherwise adapt the row-major function."""
+    cm = getattr(metric, "component_major", None)
+    if cm is not None:
+        return cm
+
+    def metric_cm(x):
+        # x: (4, S, L) -> row-major (S, L, 4) -> g (S, L, 4, 4) -> (4, 4, S, L)
+        xm = jnp.moveaxis(x, 0, -1)
+        g = metric(xm)
+        return jnp.moveaxis(g, (-2, -1), (0, 1))
+    return metric_cm
 
 
 def trace_rays(metric: MetricFn, scene: Scene, canvas: Canvas,
@@ -60,8 +115,14 @@ def trace_rays(metric: MetricFn, scene: Scene, canvas: Canvas,
     ni, nj = canvas.shape
     y0 = jnp.concatenate([canvas.pos, canvas.normal], axis=-1).reshape(-1, 8)
     res = trace_batch(metric, scene, y0, cfg)
-    rgb = shade(scene, res.y[..., :4], cfg.hit_dmin).reshape(ni, nj, 3)
+    rgb = _shade(scene, res.y[..., :4], cfg).reshape(ni, nj, 3)
     return canvas._replace(rgb=rgb)
+
+
+def _shade(scene: Scene, x: jax.Array, cfg: RenderConfig) -> jax.Array:
+    if cfg.soft_temp is not None:
+        return shade_soft(scene, x, cfg.hit_dmin, cfg.soft_temp)
+    return shade(scene, x, cfg.hit_dmin)
 
 
 def render_fn(metric: MetricFn, scene: Scene, cfg: RenderConfig):
@@ -74,7 +135,7 @@ def render_fn(metric: MetricFn, scene: Scene, cfg: RenderConfig):
         y0 = jnp.concatenate([pos, normal], axis=-1)
         flat = y0.reshape(-1, 8)
         res = trace_batch(metric, scene, flat, cfg)
-        rgb = shade(scene, res.y[..., :4], cfg.hit_dmin)
+        rgb = _shade(scene, res.y[..., :4], cfg)
         return rgb.reshape(pos.shape[:-1] + (3,))
 
     return fn

@@ -1,0 +1,101 @@
+"""Scene-object tests: the quadratic sphere distance, inside-out sky sphere,
+time-plane, checker colors, and the reference's shading quirks
+(/root/reference/src/RayTraceGR.jl:374-441, 513-535)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from raytracegr_jl_tpu import Plane, Sphere, make_scene, min_distance, shade
+from raytracegr_jl_tpu.models.objects import colors, distances
+
+
+def example_scene():
+    return make_scene([
+        Sphere(pos=(0, 0, 0, 0), vel=(1, 0, 0, 0), radius=-10.0),  # caelum
+        Plane(time=-20.0),                                          # frustum
+        Sphere(pos=(0, 0, 0, 0), vel=(1, 0, 0, 0), radius=0.5),    # sphere
+    ])
+
+
+class TestDistance:
+    def test_sphere_quadratic_form(self):
+        """distance = sign(r)*(|dx|^2 - r^2), NOT Euclidean
+        (RayTraceGR.jl:415-419)."""
+        sc = make_scene([Sphere(pos=(0, 1, 0, 0), vel=(1, 0, 0, 0),
+                                radius=0.5)])
+        x = jnp.array([0.0, 3.0, 0.0, 0.0])  # |dx| = 2
+        d = distances(sc, x)
+        np.testing.assert_allclose(float(d[0]), 4.0 - 0.25, rtol=1e-14)
+
+    def test_negative_radius_flips_sign(self):
+        """caelum: r=-10 => inside (|dx|<10) is POSITIVE (sky not yet hit)."""
+        sc = make_scene([Sphere(pos=(0, 0, 0, 0), vel=(1, 0, 0, 0),
+                                radius=-10.0)])
+        inside = jnp.array([0.0, 1.0, 0.0, 0.0])
+        outside = jnp.array([0.0, 11.0, 0.0, 0.0])
+        assert float(distances(sc, inside)[0]) > 0
+        assert float(distances(sc, outside)[0]) < 0
+
+    def test_plane_time_distance(self):
+        """Plane: distance = t - time (RayTraceGR.jl:399-401)."""
+        sc = make_scene([Plane(time=-20.0)])
+        x = jnp.array([-5.0, 1.0, 2.0, 3.0])
+        np.testing.assert_allclose(float(distances(sc, x)[0]), 15.0)
+
+    def test_min_distance_over_objects(self):
+        sc = example_scene()
+        s = jnp.zeros(8).at[1].set(0.6)  # just outside the small sphere
+        d = float(min_distance(sc, s))
+        np.testing.assert_allclose(d, 0.36 - 0.25, rtol=1e-12)
+
+    def test_batched(self):
+        sc = example_scene()
+        xs = jnp.array([[0.0, 0.6, 0, 0], [0.0, 3.0, 0, 0]])
+        d = distances(sc, xs)
+        assert d.shape == (2, 3)
+
+
+class TestColors:
+    def test_plane_green(self):
+        sc = make_scene([Plane(time=-20.0)])
+        c = colors(sc, jnp.array([0.0, 1.0, 2.0, 3.0]))
+        np.testing.assert_allclose(np.asarray(c[0]), [0.0, 0.5, 0.0])
+
+    def test_sphere_checker(self):
+        """Spherical angles -> 12x12 checker (RayTraceGR.jl:420-428)."""
+        sc = make_scene([Sphere(pos=(0, 0, 0, 0), vel=(1, 0, 0, 0),
+                                radius=1.0)])
+        x = jnp.array([0.0, 1.0, 0.0, 0.0])  # theta=pi/2, phi=0
+        c = np.asarray(colors(sc, x)[0])
+        np.testing.assert_allclose(c, [np.mod(12 * 0.5, 1.0), 0.0, 1.0],
+                                   atol=1e-12)
+
+
+class TestShade:
+    def test_miss_is_red(self):
+        sc = example_scene()
+        x = jnp.array([0.0, 5.0, 0.0, 0.0])  # inside caelum, away from all
+        np.testing.assert_allclose(np.asarray(shade(sc, x)), [1.0, 0.0, 0.0])
+
+    def test_hit_dims_by_object_index(self):
+        """Hit color scaled by (index+1)/N (RayTraceGR.jl:530): the caelum
+        (object 1 of 3) is dimmed to 1/3."""
+        sc = example_scene()
+        x = jnp.array([0.0, 10.0, 0.001, 0.001])  # on the caelum surface
+        rgb = np.asarray(shade(sc, x))
+        assert rgb[2] == (1 / 3) * 1.0  # blue channel = 1 * 1/3
+
+    def test_third_object_full_brightness(self):
+        sc = example_scene()
+        x = jnp.array([0.0, 0.5, 0.0, 0.0])  # on the small sphere surface
+        rgb = np.asarray(shade(sc, x))
+        assert rgb[2] == 1.0  # index 3 of 3 => dim factor 1
+
+    def test_hit_threshold(self):
+        """Hits require distance < 0.01 (RayTraceGR.jl:519)."""
+        sc = make_scene([Sphere(pos=(0, 0, 0, 0), vel=(1, 0, 0, 0),
+                                radius=1.0)])
+        near = jnp.array([0.0, 1.004, 0.0, 0.0])  # d = 1.004^2-1 ~ 0.008
+        far = jnp.array([0.0, 1.01, 0.0, 0.0])    # d ~ 0.02 > 0.01
+        assert not np.allclose(np.asarray(shade(sc, near)), [1, 0, 0])
+        np.testing.assert_allclose(np.asarray(shade(sc, far)), [1, 0, 0])

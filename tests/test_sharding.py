@@ -1,0 +1,69 @@
+"""Multi-device tests on the 8-way virtual CPU mesh (conftest sets
+--xla_force_host_platform_device_count=8): sharded forward render equals the
+single-device render, and the sharded loss/grad path compiles with the only
+collective being the parameter-gradient psum (SURVEY.md §2a)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracegr_jl_tpu import IntegratorConfig, RenderConfig, render_fn
+from raytracegr_jl_tpu.grad import (InverseParams, default_inverse_cfg,
+                                    make_loss_fn, make_render_for_params)
+from raytracegr_jl_tpu.models.scenes import build, example1_spec, example2_spec
+from raytracegr_jl_tpu.parallel.sharding import (make_mesh, ray_sharding,
+                                                 shard_pixels, sharded_render,
+                                                 sharded_value_and_grad)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh()
+
+
+def test_sharded_render_matches_single_device(mesh):
+    spec = example1_spec(16, 16)  # 16 rows shard over 8 devices
+    metric, scene, canvas = build(spec, jnp.float64)
+    cfg = RenderConfig(integrator=IntegratorConfig(method="rk4", rk4_dt=0.1))
+    render = render_fn(metric, scene, cfg)
+
+    rgb_single = render(canvas.pos, canvas.normal)
+
+    pos_s, norm_s = shard_pixels(mesh, canvas.pos, canvas.normal)
+    rgb_sharded = sharded_render(render, mesh)(pos_s, norm_s)
+    np.testing.assert_allclose(np.asarray(rgb_sharded),
+                               np.asarray(rgb_single), atol=1e-12)
+    # output actually carries the mesh sharding
+    assert rgb_sharded.sharding.is_equivalent_to(
+        ray_sharding(mesh), rgb_sharded.ndim)
+
+
+def test_sharded_render_kerr(mesh):
+    spec = example2_spec(8, 8)
+    metric, scene, canvas = build(spec, jnp.float64)
+    cfg = RenderConfig(integrator=IntegratorConfig(
+        method="tsit5", rtol=1e-8, atol=1e-8, max_steps=2000))
+    render = render_fn(metric, scene, cfg)
+    pos_s, norm_s = shard_pixels(mesh, canvas.pos, canvas.normal)
+    rgb = sharded_render(render, mesh)(pos_s, norm_s)
+    assert np.isfinite(np.asarray(rgb)).all()
+
+
+def test_sharded_value_and_grad(mesh):
+    """Replicated params, sharded pixels: loss+grads match the unsharded
+    computation (the grad psum is inserted by XLA)."""
+    spec = example2_spec(8, 8)
+    cfg = default_inverse_cfg(jnp.float64, max_steps=32, rk4_dt=0.3)
+    params0 = InverseParams(M=jnp.asarray(1.0), a=jnp.asarray(0.0),
+                            sphere_pos=jnp.asarray([0.0, 4.0, 0.0, 0.0]))
+    render = make_render_for_params(spec, cfg, 2, jnp.float64)
+    target = render(params0)
+    loss = make_loss_fn(spec, target, cfg, dtype=jnp.float64)
+
+    p = params0._replace(M=jnp.asarray(1.02))
+    l_ref, g_ref = jax.value_and_grad(loss)(p)
+    l_sh, g_sh = sharded_value_and_grad(loss, mesh)(p)
+    np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-12)
+    np.testing.assert_allclose(float(g_sh.M), float(g_ref.M), rtol=1e-10)
