@@ -1,0 +1,60 @@
+"""Golden-image parity harness: render example1/example2 at the reference's
+exact configuration (Float64, tol = eps^(3/4), 200x200) and compare against
+the committed goldens from the Julia reference
+(/root/reference/scenes/sphere.png, sphere2.png).
+
+Criterion: fraction of pixels whose 8-bit RGB differs by more than 2 LSB.
+Boundary pixels (checker-cell edges, silhouettes) may legitimately flip from
+solver roundoff; the bulk image must match.
+
+Usage: python benchmarks/parity.py [--example 1|2] [--n 200]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def run(example: int, n: int) -> float:
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracegr_jl_tpu.models.scenes import (example1_spec, example2_spec,
+                                                 render_spec)
+    from raytracegr_jl_tpu.utils.image import canvas_to_image, load_png
+
+    spec = (example1_spec if example == 1 else example2_spec)(n, n)
+    t0 = time.time()
+    canvas = render_spec(spec, jnp.float64)
+    print(f"example{example} render: {time.time() - t0:.1f}s")
+
+    img = canvas_to_image(np.asarray(canvas.rgb)).astype(np.float64) / 255.0
+    gold = load_png(f"/root/reference/scenes/sphere{'' if example == 1 else 2}.png")
+    if img.shape != gold.shape:
+        print(f"shape mismatch: {img.shape} vs {gold.shape}")
+        return 1.0
+    diff = np.abs(img - gold)
+    frac_bad = float((diff.max(-1) > 2 / 255).mean())
+    print(f"max abs diff: {diff.max():.4f}  mean: {diff.mean():.6f}  "
+          f"frac pixels >2LSB: {frac_bad:.4f}")
+    return frac_bad
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--example", type=int, default=1, choices=[1, 2])
+    ap.add_argument("--n", type=int, default=200)
+    ap.add_argument("--threshold", type=float, default=0.01)
+    args = ap.parse_args()
+    frac = run(args.example, args.n)
+    ok = frac < args.threshold
+    print("PARITY", "PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

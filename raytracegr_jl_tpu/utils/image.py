@@ -26,20 +26,37 @@ def canvas_to_image(rgb) -> np.ndarray:
 
 
 def save_png(path: str, rgb) -> str:
-    """Write canvas rgb to a PNG file; returns the path."""
-    from PIL import Image
+    """Write canvas rgb to a PNG file; returns the path.
+
+    Uses the native C++ codec (utils/native.py, zlib DEFLATE) when built,
+    PIL otherwise."""
+    from . import native
 
     img = canvas_to_image(rgb)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     if os.path.exists(path):
         os.remove(path)
+    data = native.png_encode(img)
+    if data is not None:
+        with open(path, "wb") as f:
+            f.write(data)
+        return path
+    from PIL import Image
+
     Image.fromarray(img, mode="RGB").save(path)
     return path
 
 
 def load_png(path: str) -> np.ndarray:
     """Read a PNG into float64 [H, W, 3] in [0, 1]."""
-    from PIL import Image
+    from . import native
 
-    img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float64)
-    return img / 255.0
+    with open(path, "rb") as f:
+        data = f.read()
+    img = native.png_decode(data)
+    if img is None:
+        from PIL import Image
+
+        img = np.asarray(Image.open(path).convert("RGB"), dtype=np.float64)
+        return img / 255.0
+    return img.astype(np.float64) / 255.0
