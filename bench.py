@@ -27,6 +27,8 @@ JULIA_REF_RAYS_PER_S = 20_000.0
 
 
 def bench(ni=200, nj=200, dtype=jnp.float32, repeats=3):
+    from raytracegr_jl_tpu.utils.setup import enable_compilation_cache
+    enable_compilation_cache()
     from raytracegr_jl_tpu import IntegratorConfig, RenderConfig, render_fn
     from raytracegr_jl_tpu.models.scenes import build, example2_spec
     from raytracegr_jl_tpu.render import default_tol

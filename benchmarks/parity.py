@@ -12,6 +12,11 @@ Usage: python benchmarks/parity.py [--example 1|2] [--n 200]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import sys
 import time
@@ -19,6 +24,7 @@ import time
 
 def run(example: int, n: int) -> float:
     import jax
+    jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
     import numpy as np
@@ -27,9 +33,19 @@ def run(example: int, n: int) -> float:
                                                  render_spec)
     from raytracegr_jl_tpu.utils.image import canvas_to_image, load_png
 
+    from raytracegr_jl_tpu import IntegratorConfig, RenderConfig
+    from raytracegr_jl_tpu.render import default_tol
+
     spec = (example1_spec if example == 1 else example2_spec)(n, n)
+    # Parity requires the reference's exact solver: Tsit5 at
+    # reltol=abstol=eps^(3/4) (RayTraceGR.jl:485,510) for BOTH examples
+    # (render_spec defaults flat space to cheap RK4, whose hit offsets
+    # differ at silhouette pixels).
+    tol = default_tol(jnp.float64)
+    cfg = RenderConfig(integrator=IntegratorConfig(
+        method="tsit5", rtol=tol, atol=tol, max_steps=20_000))
     t0 = time.time()
-    canvas = render_spec(spec, jnp.float64)
+    canvas = render_spec(spec, jnp.float64, cfg)
     print(f"example{example} render: {time.time() - t0:.1f}s")
 
     img = canvas_to_image(np.asarray(canvas.rgb)).astype(np.float64) / 255.0

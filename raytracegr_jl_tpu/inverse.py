@@ -1,0 +1,77 @@
+"""Inverse rendering: fit physics parameters (M, a, object pose) to an
+observed image by gradient descent — the flagship capability beyond the
+reference (whose forward-only dual numbers cannot express it; see
+/root/reference/src/RayTraceGR.jl:10-247 and SURVEY.md §7 step 6).
+
+The forward model is the full differentiable pipeline: camera null-ray
+construction (metric-dependent, so gradients flow through ray setup),
+bounded masked geodesic scan, soft shading. Optimization uses optax Adam
+with optional multi-start — the rendering loss is piecewise smooth with a
+finite attraction basin (hard hit/miss flips at silhouettes survive soft
+shading), so robust fitting restarts from a few initializations.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .grad import InverseParams, default_inverse_cfg, make_loss_fn
+from .models.scenes import SceneSpec
+from .render import RenderConfig
+
+
+class FitResult(NamedTuple):
+    params: InverseParams  # best parameters found
+    loss: jax.Array  # final loss of the best run
+    loss_history: jax.Array  # [steps] for the best run
+    params_history: InverseParams  # [steps]-leading pytree for the best run
+
+
+def fit(spec: SceneSpec, target_rgb: jax.Array, init: InverseParams,
+        cfg: RenderConfig | None = None, *, steps: int = 100,
+        learning_rate: float = 3e-2, sphere_index: int = 2,
+        dtype=jnp.float32) -> FitResult:
+    """Fit ``init`` toward the target image with Adam.
+
+    Returns the best-loss iterate (not the last — the rough landscape can
+    bounce late in training)."""
+    if cfg is None:
+        cfg = default_inverse_cfg(dtype, soft_temp=0.05, stop_rho=0.5)
+    loss_fn = make_loss_fn(spec, target_rgb, cfg, sphere_index, dtype)
+    opt = optax.adam(learning_rate)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    def scan_body(carry, _):
+        params, opt_state = carry
+        new_params, opt_state, loss = step(params, opt_state)
+        return (new_params, opt_state), (params, loss)
+
+    (final, _), (traj, losses) = jax.lax.scan(
+        scan_body, (init, opt.init(init)), None, length=steps)
+
+    best = jnp.argmin(losses)
+    best_params = jax.tree.map(lambda t: t[best], traj)
+    return FitResult(params=best_params, loss=losses[best],
+                     loss_history=losses, params_history=traj)
+
+
+def fit_multistart(spec: SceneSpec, target_rgb: jax.Array,
+                   inits: Sequence[InverseParams],
+                   cfg: RenderConfig | None = None, **kw) -> FitResult:
+    """Run ``fit`` from several initializations, keep the best."""
+    best: FitResult | None = None
+    for init in inits:
+        r = fit(spec, target_rgb, init, cfg, **kw)
+        if best is None or float(r.loss) < float(best.loss):
+            best = r
+    assert best is not None
+    return best

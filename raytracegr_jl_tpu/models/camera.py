@@ -22,7 +22,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.geometry import MetricFn
+from ..ops.geometry import MetricFn, inv4
 from ..ops.metrics import D
 
 
@@ -46,7 +46,7 @@ def pixel_rays(
     """Null 4-velocity for pixel(s): positions [..., 4], tilted normals
     [..., 4] -> (pos, u) with u past-pointing null (RayTraceGR.jl:469-474)."""
     g = metric(pos)  # [..., 4, 4]
-    gu = jnp.linalg.inv(g)
+    gu = inv4(g)
     t = gu[..., :, 0]  # g^{-1} . (1,0,0,0)
     t2 = jnp.einsum("...a,...ab,...b->...", t, g, t)
     n2 = jnp.einsum("...a,...ab,...b->...", normal, g, normal)

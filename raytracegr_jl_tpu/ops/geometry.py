@@ -53,16 +53,43 @@ def _value_and_jacfwd(f: MetricFn, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return y, jac
 
 
+def inv4(g: jax.Array) -> jax.Array:
+    """Closed-form inverse of 4x4 matrices, batched: ``[..., 4, 4]``.
+
+    ``jnp.linalg.inv`` lowers to loop-based LU with pivoting — measured
+    ~100x slower than arithmetic on TPU for batched tiny matrices and not
+    lowerable inside Pallas kernels. The adjugate/determinant expansion is
+    ~200 fused elementwise ops that XLA vectorizes across the batch.
+    """
+    m = [[g[..., a, b] for b in range(4)] for a in range(4)]
+
+    def det3(r, c):
+        rs = [i for i in range(4) if i != r]
+        cs = [j for j in range(4) if j != c]
+        a, b, c0 = m[rs[0]][cs[0]], m[rs[0]][cs[1]], m[rs[0]][cs[2]]
+        d, e, f = m[rs[1]][cs[0]], m[rs[1]][cs[1]], m[rs[1]][cs[2]]
+        g_, h, i = m[rs[2]][cs[0]], m[rs[2]][cs[1]], m[rs[2]][cs[2]]
+        return (a * (e * i - f * h) - b * (d * i - f * g_)
+                + c0 * (d * h - e * g_))
+
+    cof = [[((-1) ** (a + b)) * det3(a, b) for b in range(4)]
+           for a in range(4)]
+    det = sum(m[0][c] * cof[0][c] for c in range(4))
+    inv_det = 1.0 / det
+    rows = [jnp.stack([cof[b][a] * inv_det for b in range(4)], axis=-1)
+            for a in range(4)]
+    return jnp.stack(rows, axis=-2)
+
+
 def christoffel(metric: MetricFn, x: jax.Array) -> jax.Array:
     """Christoffel symbols of the second kind, ``Gamma^a_bc`` shape [4,4,4].
 
     Reference: RayTraceGR.jl:317-331. ``Gamma_l[a,b,c] =
-    (dg[a,b,c] + dg[a,c,b] - dg[b,c,a]) / 2`` raised with the inverse metric.
-    The 4x4 inverse is computed by ``jnp.linalg.inv`` (XLA unrolls small
-    inverses to closed form on TPU).
+    (dg[a,b,c] + dg[a,c,b] - dg[b,c,a]) / 2`` raised with the inverse metric
+    (closed-form ``inv4``, not LU — see its docstring).
     """
     g, dg = dmetric(metric, x)
-    gu = jnp.linalg.inv(g)
+    gu = inv4(g)
     gamma_l = (dg + jnp.swapaxes(dg, -1, -2) - jnp.moveaxis(dg, -1, -3)) / 2
     # Gamma^a_bc = gu[a,d] * Gamma_l[d,b,c]
     return jnp.einsum("...ad,...dbc->...abc", gu, gamma_l)

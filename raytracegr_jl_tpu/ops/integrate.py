@@ -372,11 +372,20 @@ def integrate_rays(rhs: RHS, event_fn: EventFn, y0: jax.Array,
 
 
 def integrate_rays_scan(rhs: RHS, event_fn: EventFn, y0: jax.Array,
-                        cfg: IntegratorConfig) -> TraceResult:
+                        cfg: IntegratorConfig,
+                        remat: bool = True) -> TraceResult:
     """Differentiable path: same step body under a bounded ``lax.scan`` so
     reverse-mode AD applies (while_loop is not reverse-differentiable).
-    Always runs ``max_steps`` iterations with masked updates."""
+    Always runs ``max_steps`` iterations with masked updates.
+
+    ``remat=True`` checkpoints each step: the backward pass recomputes the
+    7 RHS stages instead of storing their internals, so activation memory is
+    O(max_steps x state) rather than O(max_steps x per-stage intermediates)
+    — the standard FLOPs-for-HBM trade for long integrations.
+    """
     body = _make_step_body(rhs, event_fn, cfg)
+    if remat:
+        body = jax.checkpoint(body)
     st0 = _init_state(rhs, y0, cfg)
 
     def scan_body(st, _):

@@ -84,7 +84,11 @@ def sym4_inv(g: jax.Array) -> jax.Array:
 def dmetric_cm(metric_cm: MetricCM, x: jax.Array):
     """(g, dg) with ``dg[c, a, b] = d_c g_ab``; x: (4, S, 128)."""
     def jvp_c(c):
-        tangent = jnp.zeros_like(x).at[c].set(1.0)
+        # Static stack, not .at[c].set: scatter has no Mosaic lowering.
+        tangent = jnp.stack([
+            jnp.ones_like(x[0]) if i == c else jnp.zeros_like(x[0])
+            for i in range(4)
+        ])
         return jax.jvp(metric_cm, (x,), (tangent,))
 
     g, d0 = jvp_c(0)
@@ -293,12 +297,16 @@ def _make_kernel(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
         dtype = y0_tile.dtype
         zero = jnp.zeros_like(dt0)
 
+        # Carried masks are f32 (0/1), not bool: Mosaic fails to legalize
+        # i1-vector yields of the while op ('scf.yield').
         def cond(st):
-            y, lam, dt, k1, active, hit, steps, err_old, it = st
-            return jnp.any(active) & (it < cfg.max_steps)
+            y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
+            return (jnp.max(active_f) > 0) & (it < cfg.max_steps)
 
         def body(st):
-            y, lam, dt, k1, active, hit, steps, err_old, it = st
+            y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
+            active = active_f > 0
+            hit = hit_f > 0
             lam_left = cfg.lam_max - lam
             dt_try = jnp.maximum(jnp.minimum(dt, lam_left), cfg.dt_min)
 
@@ -343,18 +351,19 @@ def _make_kernel(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
             steps = steps + do.astype(steps.dtype)
             dt = jnp.where(active, dt_next, dt)
             err_old = jnp.where(do, jnp.maximum(en, 1e-10), err_old)
-            return (y, lam, dt, k1, active, hit, steps, err_old, it + 1)
+            return (y, lam, dt, k1, active.astype(dtype), hit.astype(dtype),
+                    steps, err_old, it + 1)
 
         k1_0 = rhs(y0_tile)
-        st0 = (y0_tile, zero, dt0, k1_0, act0,
-               jnp.zeros_like(act0), jnp.zeros(dt0.shape, jnp.int32),
+        st0 = (y0_tile, zero, dt0, k1_0, act0.astype(dtype),
+               jnp.zeros_like(dt0), jnp.zeros(dt0.shape, jnp.int32),
                jnp.ones_like(dt0), jnp.zeros((), jnp.int32))
-        y, lam, dt, k1, active, hit, steps, err_old, it = lax.while_loop(
+        y, lam, dt, k1, active_f, hit_f, steps, err_old, it = lax.while_loop(
             cond, body, st0)
 
         yo_ref[:] = y
         lam_ref[:] = lam
-        hit_ref[:] = hit.astype(jnp.int32)
+        hit_ref[:] = (hit_f > 0).astype(jnp.int32)
         steps_ref[:] = steps
 
     return kernel
