@@ -26,7 +26,7 @@ import jax.numpy as jnp
 JULIA_REF_RAYS_PER_S = 20_000.0
 
 
-def bench(ni=200, nj=200, dtype=jnp.float32, repeats=3):
+def bench(ni=200, nj=200, dtype=jnp.float32, repeats=3, backend="xla_cm"):
     from raytracegr_jl_tpu.utils.setup import enable_compilation_cache
     enable_compilation_cache()
     from raytracegr_jl_tpu import IntegratorConfig, RenderConfig, render_fn
@@ -36,8 +36,10 @@ def bench(ni=200, nj=200, dtype=jnp.float32, repeats=3):
     spec = example2_spec(ni, nj)
     metric, scene, canvas = build(spec, dtype)
     tol = default_tol(dtype)
-    cfg = RenderConfig(integrator=IntegratorConfig(
-        method="tsit5", rtol=tol, atol=tol, max_steps=20_000))
+    cfg = RenderConfig(
+        integrator=IntegratorConfig(method="tsit5", rtol=tol, atol=tol,
+                                    max_steps=20_000),
+        backend=backend)
     fn = jax.jit(render_fn(metric, scene, cfg))
 
     # warm-up / compile (excluded, like time.sh's first @time run)
@@ -57,7 +59,17 @@ def main():
     ni = nj = 200
     if len(sys.argv) > 1:
         ni = nj = int(sys.argv[1])
-    rays_per_s, secs, _ = bench(ni, nj)
+    backends = [sys.argv[2]] if len(sys.argv) > 2 else ["pallas", "xla_cm",
+                                                        "xla"]
+    rays_per_s = None
+    for be in backends:
+        try:
+            rays_per_s, secs, _ = bench(ni, nj, backend=be)
+            break
+        except Exception as e:
+            print(f"backend {be} failed: {e!r}"[:200], file=sys.stderr)
+    if rays_per_s is None:
+        raise SystemExit("all backends failed")
     print(json.dumps({
         "metric": "kerr_schild_render_rays_per_s",
         "value": round(rays_per_s, 1),

@@ -286,81 +286,102 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     return crossed, hi, y_star
 
 
-def _make_kernel(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
+def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
+    """(cond, body, init) for the component-major adaptive loop.
+
+    State layout: y (8, *shape), per-ray scalars (*shape). Shared verbatim
+    by the Pallas kernel (tiles in VMEM) and the plain-XLA component-major
+    driver ``integrate_rays_cm`` (full batch) — one implementation, two
+    execution strategies.
+
+    Carried masks are f32 (0/1), not bool: Mosaic fails to legalize
+    i1-vector yields of the while op ('scf.yield').
+    """
     rhs = functools.partial(geodesic_cm, metric_cm)
     adaptive = cfg.method == "tsit5"
 
-    def kernel(y_ref, dt_ref, act_ref, yo_ref, lam_ref, hit_ref, steps_ref):
-        y0_tile = y_ref[:]                      # (8, S, 128)
-        dt0 = dt_ref[:]                         # (S, 128)
-        act0 = act_ref[:] > 0                   # (S, 128) bool
-        dtype = y0_tile.dtype
+    def cond(st):
+        y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
+        return (jnp.max(active_f) > 0) & (it < cfg.max_steps)
+
+    def body(st):
+        y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
+        dtype = y.dtype
+        active = active_f > 0
+        hit = hit_f > 0
+        lam_left = cfg.lam_max - lam
+        dt_try = jnp.maximum(jnp.minimum(dt, lam_left), cfg.dt_min)
+        dt_try = jnp.where(jnp.isfinite(dt_try), dt_try,
+                           jnp.asarray(cfg.dt_min, dtype))
+
+        if adaptive:
+            y_new, err, k_last = _tsit5_step_cm(rhs, y, dt_try, k1)
+            sc = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(y),
+                                                   jnp.abs(y_new))
+            en = jnp.sqrt(jnp.mean((err / sc) ** 2, axis=0))
+            bad = ~jnp.isfinite(en) | ~jnp.all(jnp.isfinite(y_new), axis=0)
+            en = jnp.where(bad, jnp.inf, en)
+            accept = en <= 1.0
+            en_c = jnp.maximum(en, 1e-10)
+            q_pi = (cfg.safety * en_c ** (-cfg.beta1)
+                    * jnp.maximum(err_old, 1e-10) ** cfg.beta2)
+            q_rej = cfg.safety * en_c ** (-0.2)
+            q = jnp.where(accept, q_pi, jnp.minimum(q_rej, 1.0))
+            q = jnp.clip(q, cfg.qmin, cfg.qmax)
+            dt_next = jnp.clip(dt_try * q, cfg.dt_min, cfg.lam_max)
+            dead = (bad | ~accept) & (dt_try <= 2 * cfg.dt_min)
+        else:
+            y_new, err, k_last = _rk4_step_cm(rhs, y, dt_try, k1)
+            en = jnp.ones_like(dt_try)
+            bad = ~jnp.all(jnp.isfinite(y_new), axis=0)
+            accept = ~bad
+            dt_next = jnp.full_like(dt_try, cfg.rk4_dt)
+            dead = bad
+
+        if cfg.stop_rho > 0.0:
+            rho2 = y_new[1] ** 2 + y_new[2] ** 2 + y_new[3] ** 2
+            dead = dead | (rho2 < cfg.stop_rho**2)
+
+        do = active & accept
+        fin = jnp.all(jnp.isfinite(y_new), axis=0)
+        y_evt = jnp.where(fin, y_new, y)
+        k_evt = jnp.where(fin, k_last, k1)
+        crossed, th_star, y_star = _locate_event_cm(
+            event_fn, y, y_evt, k1, k_evt, dt_try, cfg)
+        hit_now = do & crossed
+
+        y_acc = jnp.where(hit_now, y_star, y_evt)
+        lam_acc = lam + jnp.where(hit_now, th_star * dt_try, dt_try)
+        done_span = lam_acc >= cfg.lam_max - 1e-6
+
+        y = jnp.where(do, y_acc, y)
+        lam = jnp.where(do, lam_acc, lam)
+        k1 = jnp.where(do, k_evt, k1)
+        hit = hit | hit_now
+        active = active & ~hit_now & ~(do & done_span) & ~dead
+        steps = steps + do.astype(steps.dtype)
+        dt = jnp.where(active, dt_next, dt)
+        err_old = jnp.where(do, jnp.maximum(en, 1e-10), err_old)
+        return (y, lam, dt, k1, active.astype(dtype), hit.astype(dtype),
+                steps, err_old, it + 1)
+
+    def init(y0, dt0, act0_f):
+        dtype = y0.dtype
         zero = jnp.zeros_like(dt0)
+        return (y0, zero, dt0, rhs(y0), act0_f.astype(dtype),
+                jnp.zeros_like(dt0), jnp.zeros(dt0.shape, jnp.int32),
+                jnp.ones_like(dt0), jnp.zeros((), jnp.int32))
 
-        # Carried masks are f32 (0/1), not bool: Mosaic fails to legalize
-        # i1-vector yields of the while op ('scf.yield').
-        def cond(st):
-            y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
-            return (jnp.max(active_f) > 0) & (it < cfg.max_steps)
+    return cond, body, init
 
-        def body(st):
-            y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
-            active = active_f > 0
-            hit = hit_f > 0
-            lam_left = cfg.lam_max - lam
-            dt_try = jnp.maximum(jnp.minimum(dt, lam_left), cfg.dt_min)
 
-            if adaptive:
-                y_new, err, k_last = _tsit5_step_cm(rhs, y, dt_try, k1)
-                sc = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(y),
-                                                       jnp.abs(y_new))
-                en = jnp.sqrt(jnp.mean((err / sc) ** 2, axis=0))
-                bad = ~jnp.isfinite(en) | ~jnp.all(jnp.isfinite(y_new),
-                                                   axis=0)
-                en = jnp.where(bad, jnp.inf, en)
-                accept = en <= 1.0
-                en_c = jnp.maximum(en, 1e-10)
-                q_pi = (cfg.safety * en_c ** (-cfg.beta1)
-                        * jnp.maximum(err_old, 1e-10) ** cfg.beta2)
-                q_rej = cfg.safety * en_c ** (-0.2)
-                q = jnp.where(accept, q_pi, jnp.minimum(q_rej, 1.0))
-                q = jnp.clip(q, cfg.qmin, cfg.qmax)
-                dt_next = jnp.clip(dt_try * q, cfg.dt_min, cfg.lam_max)
-                dead = bad & (dt_try <= 2 * cfg.dt_min)
-            else:
-                y_new, err, k_last = _rk4_step_cm(rhs, y, dt_try, k1)
-                accept = jnp.ones_like(act0)
-                en = jnp.ones_like(dt0)
-                dt_next = jnp.full_like(dt0, cfg.rk4_dt)
-                dead = jnp.zeros_like(act0)
+def _make_kernel(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
+    cond, body, init = make_step_cm(metric_cm, event_fn, cfg)
 
-            do = active & accept
-            crossed, th_star, y_star = _locate_event_cm(
-                event_fn, y, y_new, k1, k_last, dt_try, cfg)
-            hit_now = do & crossed
-
-            y_acc = jnp.where(hit_now, y_star, y_new)
-            lam_acc = lam + jnp.where(hit_now, th_star * dt_try, dt_try)
-            done_span = lam_acc >= cfg.lam_max - 1e-6
-
-            y = jnp.where(do, y_acc, y)
-            lam = jnp.where(do, lam_acc, lam)
-            k1 = jnp.where(do, k_last, k1)
-            hit = hit | hit_now
-            active = active & ~hit_now & ~(do & done_span) & ~dead
-            steps = steps + do.astype(steps.dtype)
-            dt = jnp.where(active, dt_next, dt)
-            err_old = jnp.where(do, jnp.maximum(en, 1e-10), err_old)
-            return (y, lam, dt, k1, active.astype(dtype), hit.astype(dtype),
-                    steps, err_old, it + 1)
-
-        k1_0 = rhs(y0_tile)
-        st0 = (y0_tile, zero, dt0, k1_0, act0.astype(dtype),
-               jnp.zeros_like(dt0), jnp.zeros(dt0.shape, jnp.int32),
-               jnp.ones_like(dt0), jnp.zeros((), jnp.int32))
+    def kernel(y_ref, dt_ref, act_ref, yo_ref, lam_ref, hit_ref, steps_ref):
+        st0 = init(y_ref[:], dt_ref[:], (act_ref[:] > 0))
         y, lam, dt, k1, active_f, hit_f, steps, err_old, it = lax.while_loop(
             cond, body, st0)
-
         yo_ref[:] = y
         lam_ref[:] = lam
         hit_ref[:] = (hit_f > 0).astype(jnp.int32)
@@ -375,6 +396,39 @@ def _rk4_step_cm(f, y, dt, k1):
     k4 = f(y + dt * k3)
     y1 = y + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
     return y1, jnp.zeros_like(y1), f(y1)
+
+
+def integrate_rays_cm(metric_cm: MetricCM, event_fn, y0: jax.Array,
+                      dt0: jax.Array, cfg: IntegratorConfig) -> TraceResult:
+    """Component-major integration as a PLAIN XLA program (no Pallas).
+
+    Same math as the fused kernel, but the while_loop runs at the XLA level
+    over the whole batch laid out (8, R, 128) — rays on the minor axis, so
+    every elementwise op tiles the VPU densely, unlike the row-major
+    ``integrate_rays`` whose [B, 4, 4] intermediates waste lanes. No
+    per-tile early exit (one loop for the whole batch).
+    """
+    B = y0.shape[0]
+    dtype = y0.dtype
+    R = -(-B // LANES)
+    Bp = R * LANES
+    pad = Bp - B
+
+    y_cm = jnp.pad(y0, ((0, pad), (0, 0))).T.reshape(8, R, LANES)
+    dt_cm = jnp.pad(dt0, (0, pad), constant_values=1.0).reshape(R, LANES)
+    act_cm = jnp.pad(jnp.ones((B,), bool), (0, pad)).reshape(R, LANES)
+
+    cond, body, init = make_step_cm(metric_cm, event_fn, cfg)
+    st = lax.while_loop(cond, body, init(y_cm, dt_cm, act_cm))
+    y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
+
+    return TraceResult(
+        y=y.reshape(8, Bp).T[:B],
+        lam=lam.reshape(Bp)[:B],
+        hit=(hit_f > 0).reshape(Bp)[:B],
+        steps=steps.reshape(Bp)[:B],
+        n_iters=it,
+    )
 
 
 def integrate_rays_pallas(metric_cm: MetricCM, event_fn, y0: jax.Array,

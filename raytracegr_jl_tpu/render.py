@@ -33,7 +33,9 @@ class RenderConfig(NamedTuple):
     integrator: IntegratorConfig = IntegratorConfig()
     hit_dmin: float = 0.01
     differentiable: bool = False  # scan (grad-capable) vs while_loop (fast)
-    backend: str = "xla"  # "xla" | "pallas" (fused VMEM-resident TPU kernel)
+    backend: str = "xla"  # "xla" (row-major, differentiable) |
+    # "xla_cm" (component-major XLA, fast forward) |
+    # "pallas" (fused VMEM-resident TPU kernel, fastest forward)
     pallas_interpret: bool = False  # run the Pallas kernel interpreted (CPU)
     soft_temp: float | None = None  # None => reference hard shading;
     # a float => differentiable soft shading (models/objects.shade_soft)
@@ -54,14 +56,19 @@ def trace_batch(metric: MetricFn, scene: Scene, y0: jax.Array,
     """
     rhs = _sanitized_rhs(metric)
     event = lambda y: min_distance(scene, y)
-    if cfg.backend == "pallas":
+    if cfg.backend in ("pallas", "xla_cm"):
         from .ops.integrate import hairer_init_dt
-        from .ops.pallas_geodesic import integrate_rays_pallas, scene_event_cm
+        from .ops.pallas_geodesic import (integrate_rays_cm,
+                                          integrate_rays_pallas,
+                                          scene_event_cm)
 
         if metric_cm is None:
             metric_cm = _metric_cm_of(metric)
         dt0 = hairer_init_dt(rhs, y0, cfg.integrator.rtol, cfg.integrator.atol,
                              5, cfg.integrator.lam_max)
+        if cfg.backend == "xla_cm":
+            return integrate_rays_cm(metric_cm, scene_event_cm(scene), y0,
+                                     dt0, cfg.integrator)
         return integrate_rays_pallas(metric_cm, scene_event_cm(scene), y0,
                                      dt0, cfg.integrator,
                                      interpret=cfg.pallas_interpret)
