@@ -25,6 +25,19 @@ from .metrics import D
 
 MetricFn = Callable[[jax.Array], jax.Array]
 
+# Sanitization bounds shared by every RHS evaluation path (row-major XLA,
+# component-major XLA, Pallas kernel). Physical states here live at
+# |x| <~ 1e3 and |u| <~ 1e2; strongly lensed plunging rays legitimately
+# reach |udot| ~ 1e4-1e5, so the RHS bound must sit far above that. The
+# bounds only bite for garbage states of already-dying rays; they exist so
+# no f32 intermediate can overflow to inf — an inf ANYWHERE in the traced
+# graph becomes NaN gradients for the whole batch under reverse AD
+# (0-cotangent x inf-Jacobian), even though the forward pass masks those
+# rays out. With |state| <= 1e4 and the metric's rho clamp, |udot| is
+# naturally <= ~1e15 and every downstream square stays < f32 max.
+STATE_CLAMP = 1e4
+RHS_CLAMP = 1e15
+
 
 def dmetric(metric: MetricFn, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Metric and its coordinate derivative: ``g_ab``, ``dg[a,b,c] = d_c g_ab``.

@@ -121,7 +121,15 @@ def christoffel_cm(metric_cm: MetricCM, x: jax.Array) -> jax.Array:
 
 
 def geodesic_cm(metric_cm: MetricCM, y: jax.Array) -> jax.Array:
-    """RHS on component-major state: y (8, S, 128) -> ydot (8, S, 128)."""
+    """RHS on component-major state: y (8, S, 128) -> ydot (8, S, 128).
+
+    Sanitized with the same bounds as the row-major path
+    (geometry.STATE_CLAMP/RHS_CLAMP) so all three backends integrate
+    identical dynamics and stay overflow-free in f32.
+    """
+    from .geometry import RHS_CLAMP, STATE_CLAMP
+
+    y = jnp.clip(y, -STATE_CLAMP, STATE_CLAMP)
     x, u = y[:4], y[4:]
     gamma = christoffel_cm(metric_cm, x)
     udot = []
@@ -132,7 +140,8 @@ def geodesic_cm(metric_cm: MetricCM, y: jax.Array) -> jax.Array:
                 term = gamma[a, b, c] * u[b] * u[c]
                 acc = term if acc is None else acc + term
         udot.append(-acc)
-    return jnp.concatenate([u, jnp.stack(udot)])
+    k = jnp.concatenate([u, jnp.stack(udot)])
+    return jnp.clip(k, -RHS_CLAMP, RHS_CLAMP)
 
 
 def kerr_schild_cm(params, r_formula: str):
@@ -195,32 +204,42 @@ def minkowski_cm():
 # Component-major scene: event + distance (mirrors models/objects.py).
 # ---------------------------------------------------------------------------
 
-def scene_event_cm(scene):
+def scene_event_cm(scene, *, literal: bool = False):
     """min-distance event on component-major state (8, S, 128) -> (S, 128).
 
-    Scene params enter as trace-time constants (the scene is static per
-    render); kinds are Python ints so the per-object branch unrolls.
+    The object-kind STRUCTURE is always static (unrolled per-object
+    branches). With ``literal=False`` the object VALUES (pos, radius, time)
+    stay jnp so they may be traced — gradients w.r.t. object pose flow
+    through the termination condition (the differentiable cm-scan path).
+    With ``literal=True`` values are baked in as Python scalars — required
+    inside the Pallas kernel, whose closure must not capture array
+    constants (forward render only; the scene must be concrete).
     """
     import numpy as np
     from ..models.objects import KIND_SPHERE
 
-    kind = np.asarray(scene.kind)
-    pos = np.asarray(scene.pos)
-    radius = np.asarray(scene.radius)
-    time = np.asarray(scene.time)
+    kind = np.asarray(scene.kind)  # concrete structure, never traced
+    if literal:
+        pos = np.asarray(scene.pos)
+        radius = np.asarray(scene.radius)
+        time = np.asarray(scene.time)
+        get = lambda arr, *idx: float(arr[idx])
+    else:
+        pos, radius, time = scene.pos, scene.radius, scene.time
+        get = lambda arr, *idx: arr[idx]
 
     def event(y):
         t, xs, ys, zs = y[0], y[1], y[2], y[3]
         d = None
         for i in range(kind.shape[0]):
             if kind[i] == KIND_SPHERE:
-                dx = xs - pos[i, 1]
-                dy = ys - pos[i, 2]
-                dz = zs - pos[i, 3]
-                di = np.sign(radius[i]) * (
-                    dx * dx + dy * dy + dz * dz - radius[i] * radius[i])
+                dx = xs - get(pos, i, 1)
+                dy = ys - get(pos, i, 2)
+                dz = zs - get(pos, i, 3)
+                r = get(radius, i)
+                di = jnp.sign(r) * (dx * dx + dy * dy + dz * dz - r * r)
             else:
-                di = t - time[i]
+                di = t - get(time, i)
             d = di if d is None else jnp.minimum(d, di)
         return d
 
@@ -282,8 +301,22 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
         return jnp.where(gt, mid, lo), jnp.where(gt, hi, mid)
 
     lo, hi = lax.fori_loop(0, cfg.bisect_iters, bisect_body, (th_lo, th_hi))
-    y_star = _hermite_cm(y0, y1, f0, f1, dt, hi)
-    return crossed, hi, y_star
+
+    # Newton/IFT polish from a gradient-stopped theta (see the row-major
+    # _locate_event): value unchanged, but theta* gradients flow through the
+    # root condition — required for correct pose/param gradients on the
+    # differentiable cm-scan path (a no-op for the forward-only kernel).
+    th0 = lax.stop_gradient(hi)
+
+    def resid(theta):
+        return event_fn(_hermite_cm(y0, y1, f0, f1, dt, theta))
+
+    val, dval = jax.jvp(resid, (th0,), (jnp.ones_like(th0),))
+    ok = jnp.abs(dval) > 1e-30
+    th_star = jnp.where(ok, th0 - val / jnp.where(ok, dval, 1.0), th0)
+    th_star = jnp.clip(th_star, 0.0, 1.0)
+    y_star = _hermite_cm(y0, y1, f0, f1, dt, th_star)
+    return crossed, th_star, y_star
 
 
 def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
@@ -422,6 +455,41 @@ def integrate_rays_cm(metric_cm: MetricCM, event_fn, y0: jax.Array,
     st = lax.while_loop(cond, body, init(y_cm, dt_cm, act_cm))
     y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
 
+    return TraceResult(
+        y=y.reshape(8, Bp).T[:B],
+        lam=lam.reshape(Bp)[:B],
+        hit=(hit_f > 0).reshape(Bp)[:B],
+        steps=steps.reshape(Bp)[:B],
+        n_iters=it,
+    )
+
+
+def integrate_rays_cm_scan(metric_cm: MetricCM, event_fn, y0: jax.Array,
+                           dt0: jax.Array, cfg: IntegratorConfig,
+                           remat: bool = True) -> TraceResult:
+    """Differentiable component-major integration: the same step body under
+    a bounded ``lax.scan`` (reverse-mode capable), with optional per-step
+    rematerialization. The component-major layout makes this the fast
+    TPU path for gradient work too."""
+    B = y0.shape[0]
+    R = -(-B // LANES)
+    Bp = R * LANES
+    pad = Bp - B
+
+    y_cm = jnp.pad(y0, ((0, pad), (0, 0))).T.reshape(8, R, LANES)
+    dt_cm = jnp.pad(dt0, (0, pad), constant_values=1.0).reshape(R, LANES)
+    act_cm = jnp.pad(jnp.ones((B,), bool), (0, pad)).reshape(R, LANES)
+
+    cond, body, init = make_step_cm(metric_cm, event_fn, cfg)
+    if remat:
+        body = jax.checkpoint(body)
+
+    def scan_body(st, _):
+        return body(st), None
+
+    st, _ = lax.scan(scan_body, init(y_cm, dt_cm, act_cm), None,
+                     length=cfg.max_steps)
+    y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
     return TraceResult(
         y=y.reshape(8, Bp).T[:B],
         lam=lam.reshape(Bp)[:B],

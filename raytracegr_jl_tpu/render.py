@@ -59,39 +59,43 @@ def trace_batch(metric: MetricFn, scene: Scene, y0: jax.Array,
     if cfg.backend in ("pallas", "xla_cm"):
         from .ops.integrate import hairer_init_dt
         from .ops.pallas_geodesic import (integrate_rays_cm,
+                                          integrate_rays_cm_scan,
                                           integrate_rays_pallas,
                                           scene_event_cm)
 
         if metric_cm is None:
             metric_cm = _metric_cm_of(metric)
-        dt0 = hairer_init_dt(rhs, y0, cfg.integrator.rtol, cfg.integrator.atol,
-                             5, cfg.integrator.lam_max)
-        if cfg.backend == "xla_cm":
-            return integrate_rays_cm(metric_cm, scene_event_cm(scene), y0,
-                                     dt0, cfg.integrator)
-        return integrate_rays_pallas(metric_cm, scene_event_cm(scene), y0,
+        if cfg.integrator.method == "rk4":
+            dt0 = jnp.full(y0.shape[:1], cfg.integrator.rk4_dt, y0.dtype)
+        else:
+            dt0 = hairer_init_dt(rhs, y0, cfg.integrator.rtol,
+                                 cfg.integrator.atol, 5,
+                                 cfg.integrator.lam_max)
+        if cfg.backend == "xla_cm" or cfg.differentiable:
+            # The Pallas kernel is forward-only; differentiable requests on
+            # either cm backend route to the reverse-capable cm scan.
+            integ_cm = (integrate_rays_cm_scan if cfg.differentiable
+                        else integrate_rays_cm)
+            return integ_cm(metric_cm, scene_event_cm(scene), y0,
+                            dt0, cfg.integrator)
+        # Pallas kernels cannot capture array constants: bake the (concrete)
+        # scene values in as literals.
+        return integrate_rays_pallas(metric_cm,
+                                     scene_event_cm(scene, literal=True), y0,
                                      dt0, cfg.integrator,
                                      interpret=cfg.pallas_interpret)
     integ = integrate_rays_scan if cfg.differentiable else integrate_rays
     return integ(rhs, event, y0, cfg.integrator)
 
 
-# Magnitude bounds for the sanitized RHS. Physical rays here live at
-# |x| <~ 1e3 (lam_max=100, caelum radius 10, u = O(1..10)); the bounds only
-# bite for garbage states of rays already dying (singularity plunges), whose
-# results are discarded. They exist so no f32 intermediate can overflow to
-# inf: an inf ANYWHERE in the traced graph turns into NaN gradients for the
-# whole batch under reverse AD (0-cotangent x inf-Jacobian), even though the
-# forward pass masks those rays out.
-_STATE_CLAMP = 1e4
-_RHS_CLAMP = 1e4
-
-
 def _sanitized_rhs(metric: MetricFn):
+    """RHS with the shared magnitude bounds (see geometry.STATE_CLAMP)."""
+    from .ops.geometry import RHS_CLAMP, STATE_CLAMP
+
     def rhs(y):
-        y_safe = jnp.clip(y, -_STATE_CLAMP, _STATE_CLAMP)
+        y_safe = jnp.clip(y, -STATE_CLAMP, STATE_CLAMP)
         k = jax.vmap(lambda s: geodesic(s, metric))(y_safe)
-        return jnp.clip(k, -_RHS_CLAMP, _RHS_CLAMP)
+        return jnp.clip(k, -RHS_CLAMP, RHS_CLAMP)
     return rhs
 
 
