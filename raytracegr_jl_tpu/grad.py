@@ -88,7 +88,7 @@ def default_inverse_cfg(dtype=jnp.float32, max_steps: int = 64,
         integrator=IntegratorConfig(method=method, rk4_dt=rk4_dt,
                                     rtol=tol, atol=tol, max_steps=max_steps,
                                     interp_points=4, bisect_iters=20,
-                                    stop_rho=stop_rho),
+                                    stop_rho=stop_rho, state_cap=1e6),
         differentiable=True,
         soft_temp=soft_temp,
     )

@@ -83,6 +83,16 @@ class IntegratorConfig(NamedTuple):
     # the forward pass masks it. (The reference instead grinds captured
     # rays to dtmin and aborts, RayTraceGR.jl has no gradients to protect.)
     stop_rho: float = 0.0
+    # State-magnitude cap on RHS inputs (0 = disabled). Captured rays obey
+    # u' = -Γ u u, so |u| grows superexponentially and overflows to inf in
+    # a handful of steps; rhs(inf) is NaN, and one NaN PRIMAL anywhere in
+    # the step graph makes reverse-mode cotangents of the physics params
+    # NaN for the whole batch (0-cotangent x inf-partial = NaN) even
+    # though the forward pass masks the dead ray. Clipping the state fed
+    # to the RHS at a huge-but-finite cap is the identity for every
+    # physical ray (|y| <~ 1e2 on all reference scenes) and keeps every
+    # stage evaluation finite. Enable for gradient work (grad.py does).
+    state_cap: float = 0.0
 
 
 class TraceResult(NamedTuple):
@@ -253,6 +263,12 @@ class _LoopState(NamedTuple):
 
 def _make_step_body(rhs: RHS, event_fn: EventFn, cfg: IntegratorConfig):
     """Shared loop body for while_loop and scan drivers."""
+    if cfg.state_cap > 0.0:
+        raw_rhs = rhs
+
+        def rhs(y, _cap=cfg.state_cap):  # noqa: F811 — guarded wrapper
+            return raw_rhs(jnp.clip(y, -_cap, _cap))
+
     stepper = tsit5_step if cfg.method == "tsit5" else rk4_step
     adaptive = cfg.method == "tsit5"
 
