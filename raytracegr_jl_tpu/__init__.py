@@ -16,6 +16,7 @@ geodesic, Sphere, Plane, make_canvas, trace_rays, example1, example2 — see
 
 from .ops.metrics import (D, KerrSchildParams, kerr_schild, make_metric,
                           minkowski)
+from .ops.dual import Dual
 from .ops.geometry import (Ray, christoffel, dmetric, geodesic, r2s, s2r)
 from .ops.integrate import IntegratorConfig, TraceResult, integrate_rays
 from .models.objects import (Plane, Scene, Sphere, distances, make_scene,

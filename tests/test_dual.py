@@ -1,0 +1,139 @@
+"""Dual-number layer tests (reference L0, /root/reference/src/RayTraceGR.jl:10-247).
+
+The key property: the explicit Dual implementation and the jacfwd-based
+production path are INDEPENDENT forward-mode implementations, so agreement on
+the full Kerr-Schild dmetric is a very strong oracle for both (mirrors the
+reference testing Duals via exact Rational arithmetic, test/runtests.jl:12-32).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import raytracegr_jl_tpu.ops.dual as du
+from raytracegr_jl_tpu import KerrSchildParams, dmetric, kerr_schild, minkowski
+from raytracegr_jl_tpu.ops.dual import Dual
+
+
+def _probe_points():
+    # the reference's 7 bitmask probe points (test/runtests.jl:41-44)
+    return jnp.array([[0.0, 2.0 * (i & 1), 2.0 * (i & 2), 2.0 * (i & 4)]
+                      for i in range(1, 8)])
+
+
+def test_seed_unit_basis():
+    x = jnp.array([0.0, 2.0, 1.0, 3.0])
+    d = du.seed(x)
+    np.testing.assert_array_equal(np.asarray(d.val), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(d.eps), np.eye(4))
+
+
+def test_arithmetic_rules():
+    x = du.seed(jnp.array([1.5, 2.0, -0.5, 3.0]))
+    a, b = x[0], x[1]
+    # product rule
+    p = a * b
+    assert float(p.val) == 3.0
+    np.testing.assert_allclose(np.asarray(p.eps), [2.0, 1.5, 0.0, 0.0])
+    # quotient rule
+    q = a / b
+    np.testing.assert_allclose(np.asarray(q.eps),
+                               [1 / 2.0, -1.5 / 4.0, 0.0, 0.0])
+    # lift/promotion: constant has zero tangent (RayTraceGR.jl:23-49)
+    s = a + 2.0
+    np.testing.assert_allclose(np.asarray(s.eps), [1.0, 0.0, 0.0, 0.0])
+    r = 2.0 - a
+    np.testing.assert_allclose(np.asarray(r.eps), [-1.0, 0.0, 0.0, 0.0])
+    d = 3.0 / b
+    np.testing.assert_allclose(np.asarray(d.eps), [0.0, -3.0 / 4.0, 0.0, 0.0])
+    # literal pow ^0..^4 (RayTraceGR.jl:132-136)
+    for n in range(5):
+        pw = a ** n
+        np.testing.assert_allclose(np.asarray(pw.eps)[0],
+                                   n * 1.5 ** (n - 1) if n else 0.0)
+
+
+def test_math_functions_match_derivatives():
+    t = du.Dual(jnp.array(0.37), jnp.array([1.0]))
+    cases = [
+        (du.sin, np.cos(0.37)), (du.cos, -np.sin(0.37)),
+        (du.exp, np.exp(0.37)), (du.log, 1 / 0.37),
+        (du.sqrt, 0.5 / np.sqrt(0.37)),
+        (du.asin, 1 / np.sqrt(1 - 0.37 ** 2)),
+        (du.acos, -1 / np.sqrt(1 - 0.37 ** 2)),
+        (du.atan, 1 / (1 + 0.37 ** 2)),
+        (du.cbrt, 1 / (3 * np.cbrt(0.37) ** 2)),
+        (du.abs, 1.0),
+    ]
+    for fn, want in cases:
+        out = fn(t)
+        np.testing.assert_allclose(float(out.eps[0]), want, rtol=1e-12,
+                                   err_msg=fn.__name__)
+
+
+def test_atan2_correct_vs_bug_compatible():
+    y = Dual(jnp.array(0.8), jnp.array([1.0, 0.0]))
+    x = Dual(jnp.array(0.6), jnp.array([0.0, 1.0]))
+    rho2 = 0.6 ** 2 + 0.8 ** 2
+    good = du.atan2(y, x)
+    np.testing.assert_allclose(np.asarray(good.eps),
+                               [0.6 / rho2, -0.8 / rho2], rtol=1e-12)
+    # the reference's rule (RayTraceGR.jl:165-169): x.val*y.eps undivided
+    bug = du.atan2(y, x, bug_compatible=True)
+    np.testing.assert_allclose(np.asarray(bug.eps),
+                               [0.6, -0.8 / rho2], rtol=1e-12)
+
+
+def test_comparisons_primal_only_and_isless_lexicographic():
+    a = Dual(jnp.array(1.0), jnp.array([5.0]))
+    b = Dual(jnp.array(1.0), jnp.array([7.0]))
+    assert bool(a == b)          # primal-only equality (RayTraceGR.jl:198)
+    assert not bool(a < b)       # primal-only order
+    assert bool(du.isless(a, b))  # lexicographic val-then-eps (:243-247)
+    assert not bool(du.isless(b, a))
+
+
+def test_isnan_any_component():
+    ok = Dual(jnp.array(1.0), jnp.array([0.0, 1.0]))
+    bad_eps = Dual(jnp.array(1.0), jnp.array([jnp.nan, 1.0]))
+    bad_val = Dual(jnp.array(jnp.nan), jnp.array([0.0, 1.0]))
+    assert not bool(du.isnan(ok))
+    assert bool(du.isnan(bad_eps))   # RayTraceGR.jl:233-235
+    assert bool(du.isnan(bad_val))
+    assert not bool(du.isinf(bad_eps))
+
+
+def test_dual_minkowski_constant_zero_derivative():
+    g, dg = du.dmetric_dual(du.minkowski_dual, jnp.zeros(4))
+    np.testing.assert_array_equal(np.asarray(g), np.diag([-1.0, 1, 1, 1]))
+    np.testing.assert_array_equal(np.asarray(dg), np.zeros((4, 4, 4)))
+    # agrees with the production jacfwd path
+    g2, dg2 = dmetric(minkowski, jnp.zeros(4))
+    np.testing.assert_array_equal(np.asarray(g), np.asarray(g2))
+    np.testing.assert_array_equal(np.asarray(dg), np.asarray(dg2))
+
+
+def test_dual_kerr_schild_matches_jacfwd_path():
+    """Independent forward-mode oracle vs the production dmetric."""
+    for r_formula in ("as_written", "textbook"):
+        for M, a in ((1.0, 0.0), (1.3, 0.8)):
+            mfn = lambda d: du.kerr_schild_dual(d, M, a, r_formula=r_formula)
+            for x in _probe_points():
+                g1, dg1 = du.dmetric_dual(mfn, x)
+                g2, dg2 = dmetric(
+                    lambda xx: kerr_schild(xx, KerrSchildParams(M, a),
+                                           r_formula=r_formula), x)
+                np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                           rtol=1e-12, atol=1e-14)
+                np.testing.assert_allclose(np.asarray(dg1), np.asarray(dg2),
+                                           rtol=1e-10, atol=1e-12)
+
+
+def test_dual_batched_evaluation():
+    """Duals carry batch shapes: one call evaluates all probe points."""
+    xs = _probe_points()
+    g, dg = du.dmetric_dual(lambda d: du.kerr_schild_dual(d, 1.0, 0.0), xs)
+    assert g.shape == (7, 4, 4) and dg.shape == (7, 4, 4, 4)
+    g0, dg0 = du.dmetric_dual(lambda d: du.kerr_schild_dual(d, 1.0, 0.0),
+                              xs[0])
+    np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g0), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dg[0]), np.asarray(dg0), rtol=1e-12)
