@@ -84,6 +84,14 @@ class Dual(NamedTuple):
         # (RayTraceGR.jl:132-148). Dual exponents: a^b = exp(b log a).
         if isinstance(n, Dual):
             return exp(n * log(self))
+        # n == 0 / n == 1 short-circuits mirror the reference's literal_pow
+        # guards (RayTraceGR.jl:138 ``n == 0 && return one(x)``): the general
+        # rule would compute 0 * val**-1 = NaN tangent at val == 0.
+        if not isinstance(n, Dual) and not hasattr(n, "shape"):
+            if n == 0:
+                return Dual(jnp.ones_like(self.val), jnp.zeros_like(self.eps))
+            if n == 1:
+                return self
         dval = n * self.val ** (n - 1)
         return Dual(self.val ** n, dval[..., None] * self.eps)
 
@@ -107,8 +115,13 @@ class Dual(NamedTuple):
         return self.val >= (o.val if isinstance(o, Dual) else o)
 
     def __getitem__(self, idx):
-        # Indexing the batch shape; the tangent axis stays trailing.
-        return Dual(self.val[idx], self.eps[idx])
+        # Indexing the batch shape; the tangent axis stays trailing. eps has
+        # one extra trailing axis than val, so the index must be padded with
+        # a full slice — otherwise ``d[..., i]`` would select tangent
+        # component i from eps's trailing axis instead of coordinate i's
+        # tangent row (correct only by accident for diagonal/symmetric eps).
+        tidx = idx if isinstance(idx, tuple) else (idx,)
+        return Dual(self.val[idx], self.eps[tidx + (slice(None),)])
 
 
 def lift(c, like: Dual) -> Dual:
@@ -245,17 +258,32 @@ def minkowski_dual(x: Dual) -> list:
             for a in range(4)]
 
 
+def clamp_min(x: Dual, c: float) -> Dual:
+    """``maximum(x, c)`` for a constant c, with jnp.maximum's exact tangent
+    semantics: tangent passes where val > c, is zeroed where val < c, and is
+    halved at exact ties (matching jax.jvp of jnp.maximum against a
+    zero-tangent constant)."""
+    v = jnp.maximum(x.val, c)
+    w = jnp.where(x.val > c, 1.0,
+                  jnp.where(x.val < c, 0.0, 0.5)).astype(x.val.dtype)
+    return Dual(v, w[..., None] * x.eps)
+
+
 def kerr_schild_dual(x: Dual, M=1.0, a=0.0, *,
-                     r_formula: str = "as_written") -> list:
+                     r_formula: str = "as_written",
+                     rho_min: float = 1e-3) -> list:
     """Kerr-Schild g_ab = eta_ab + f k_a k_b evaluated entirely on duals.
 
     Mirrors ops/metrics.kerr_schild (reference RayTraceGR.jl:268-294) but
     every scalar op goes through the Dual rules above — independent of
-    jax.jvp, so disagreements localize bugs to one side.
+    jax.jvp, so disagreements localize bugs to one side. The ``rho_min``
+    singularity clamp matches the production path (metrics.py) including its
+    tangent semantics, so the two agree at every point.
     """
     k = x.eps.shape[-1]
     xs, ys, zs = x[..., 1], x[..., 2], x[..., 3]
     rho2 = xs * xs + ys * ys + zs * zs
+    rho2 = clamp_min(rho2, rho_min * rho_min)
     half = (rho2 - a * a) / 2.0
     inner = sqrt(half * half + (a * a) * (zs * zs))
     if r_formula == "as_written":

@@ -27,16 +27,35 @@ MetricFn = Callable[[jax.Array], jax.Array]
 
 # Sanitization bounds shared by every RHS evaluation path (row-major XLA,
 # component-major XLA, Pallas kernel). Physical states here live at
-# |x| <~ 1e3 and |u| <~ 1e2; strongly lensed plunging rays legitimately
+# |x| <~ 1e2 and |u| <~ 1e2; strongly lensed plunging rays legitimately
 # reach |udot| ~ 1e4-1e5, so the RHS bound must sit far above that. The
 # bounds only bite for garbage states of already-dying rays; they exist so
-# no f32 intermediate can overflow to inf — an inf ANYWHERE in the traced
-# graph becomes NaN gradients for the whole batch under reverse AD
-# (0-cotangent x inf-Jacobian), even though the forward pass masks those
-# rays out. With |state| <= 1e4 and the metric's rho clamp, |udot| is
-# naturally <= ~1e15 and every downstream square stays < f32 max.
-STATE_CLAMP = 1e4
-RHS_CLAMP = 1e15
+# no intermediate ANYWHERE in the traced graph — primal, jvp, or vjp — can
+# overflow to inf/NaN: a NaN in a masked ray's recomputed (remat) primal
+# becomes NaN gradients for the WHOLE batch under reverse AD, because
+# 0-cotangent x NaN = NaN, even though the forward pass masks those rays out.
+#
+# The bounds are DTYPE-AWARE. Derivation of the f32 state bound: with the
+# bug-compatible radius r ~ rho^2/2 (reference RayTraceGR.jl:284), the
+# division jvp of f = 2Mr^3/(r^4 + a^2 z^2) materializes den^2 = r^8 and
+# num*dden ~ 8M r^6 dr. f32 overflows at 3.4e38, so r^8 < f32max requires
+# r < 6.5e4, i.e. rho < 360. STATE_CLAMP=128 keeps rho <= 222, r <= 2.5e4,
+# r^8 <= 1.4e35 — a 2000x safety margin that also covers the vjp-of-jvp
+# (second-order) terms. Measured: dmetric in f32 goes NaN at |x| ~ 1e3.
+# The f32 RHS bound 1e9 keeps the Tsit5 error ratio (err/sc)^2 <=
+# (1e9 * dt / atol)^2 ~ 1.6e33 < f32max while sitting 1e4 above the
+# largest physical |udot|.
+STATE_CLAMP = 1e4   # f64 state bound (kept as module constant for parity)
+RHS_CLAMP = 1e15    # f64 RHS bound
+STATE_CLAMP_F32 = 128.0
+RHS_CLAMP_F32 = 1e9
+
+
+def sanitize_bounds(dtype) -> Tuple[float, float]:
+    """(state_clamp, rhs_clamp) for the compute dtype (see derivation above)."""
+    if jnp.dtype(dtype).itemsize <= 4:
+        return STATE_CLAMP_F32, RHS_CLAMP_F32
+    return STATE_CLAMP, RHS_CLAMP
 
 
 def dmetric(metric: MetricFn, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -88,6 +107,15 @@ def inv4(g: jax.Array) -> jax.Array:
     cof = [[((-1) ** (a + b)) * det3(a, b) for b in range(4)]
            for a in range(4)]
     det = sum(m[0][c] * cof[0][c] for c in range(4))
+    # Clamp |det| away from 0: physical spacetime metrics have det ~ -1
+    # (exactly -1 for textbook Kerr-Schild), but garbage states of dead rays
+    # can land near the det=0 surface of the bug-compatible metric (around
+    # rho ~ 0.75 for a=0), where an unclamped 1/det makes gu — and the
+    # gu x gu products in its vjp — overflow f32 into the 0*inf=NaN trap
+    # (see sanitize_bounds). The threshold is far below any live value.
+    det_min = 1e-4 if jnp.dtype(g.dtype).itemsize <= 4 else 1e-12
+    det = jnp.where(det < 0, jnp.minimum(det, -det_min),
+                    jnp.maximum(det, det_min))
     inv_det = 1.0 / det
     rows = [jnp.stack([cof[b][a] * inv_det for b in range(4)], axis=-1)
             for a in range(4)]

@@ -139,10 +139,22 @@ def rk4_step(f: RHS, y: jax.Array, dt: jax.Array, k1: jax.Array):
     return y1, jnp.zeros_like(y1), f(y1)
 
 
+# Large-but-finite stand-in for "infinite error": guarantees rejection
+# (>> 1) while keeping every downstream power/sqrt/vjp finite in f32 —
+# an inf here is another 0*inf=NaN gradient trap.
+ERR_BIG = 1e30
+
+
 def error_norm(err, y0, y1, rtol, atol):
-    """Hairer scaled RMS error norm over the 8 state components, per ray."""
+    """Hairer scaled RMS error norm over the 8 state components, per ray.
+
+    The ratio is clamped before squaring so garbage rays (|err| up to the
+    RHS clamp over a tiny atol) cannot overflow the square in f32; clamped
+    ratios belong to steps that are rejected regardless.
+    """
     sc = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
-    return jnp.sqrt(jnp.mean((err / sc) ** 2, axis=-1))
+    ratio = jnp.clip(err / sc, -1e15, 1e15)
+    return jnp.sqrt(jnp.mean(ratio ** 2, axis=-1))
 
 
 def hermite_interp(y0, y1, f0, f1, dt, theta):
@@ -194,10 +206,18 @@ def _locate_event(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     npts = cfg.interp_points
     dtype = y0.dtype
     thetas = jnp.arange(1, npts + 1, dtype=dtype) / npts  # (0, 1] samples
-    d_prev = event_fn(y0)  # [B] (>0 before a crossing)
+    # The bracketing + bisection search is pure root FINDING — its outputs
+    # (theta brackets) carry no useful gradients (they pass through argmax /
+    # comparisons anyway), and differentiating through 20-40 bisection
+    # iterations bloats the reverse graph for nothing. Run the whole search
+    # on gradient-stopped copies; only the final IFT/Newton polish below is
+    # AD-visible.
+    sg = lax.stop_gradient
+    y0s, y1s, f0s, f1s, dts = sg(y0), sg(y1), sg(f0), sg(f1), sg(dt)
+    d_prev = event_fn(y0s)  # [B] (>0 before a crossing)
 
     def sample(theta):
-        return event_fn(hermite_interp(y0, y1, f0, f1, dt, theta))
+        return event_fn(hermite_interp(y0s, y1s, f0s, f1s, dts, theta))
 
     d_samples = jax.vmap(sample)(jnp.broadcast_to(thetas[:, None], (npts, B)))
     # d_samples: [npts, B]. Find first index where sign flips to <= 0.
@@ -232,15 +252,23 @@ def _locate_event(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     # is ~0 after bisection) while routing gradients of theta* through the
     # event function — the d(theta*)/d(params) term the reference's
     # ContinuousCallback never needed (it has no reverse mode at all).
-    th0 = lax.stop_gradient(hi)
+    th0 = hi  # already gradient-stopped (search ran on sg() copies)
 
     def resid(theta):
         return event_fn(hermite_interp(y0, y1, f0, f1, dt, theta))
 
     val, dval = jax.jvp(resid, (th0,), (jnp.ones_like(th0),))
-    safe = jnp.where(jnp.abs(dval) > 1e-30, dval, 1.0)
-    th_star = jnp.where(jnp.abs(dval) > 1e-30, th0 - val / safe, th0)
-    th_star = jnp.clip(th_star, 0.0, 1.0)
+    # RELATIVE slope threshold: the vjp of val/dval materializes val/dval^2,
+    # so an absolute 1e-30 floor lets garbage rays (huge val, tiny dval)
+    # overflow f32 into 0*inf=NaN that poisons the whole batch's parameter
+    # gradients. |dval| > 1e-3*(1+|val|) bounds every backward quotient by
+    # 1e6 while accepting all genuine crossings (val ~ 0, dval ~ O(1) there).
+    # Near-tangential hits fall back to the bisection value with a zero
+    # theta-gradient — the true gradient diverges there, so suppressing it
+    # is the correct finite-precision regularization.
+    ok = jnp.abs(dval) > 1e-3 * (1.0 + jnp.abs(val))
+    delta = jnp.where(ok, val, 0.0) / jnp.where(ok, dval, 1.0)
+    th_star = jnp.clip(th0 - jnp.clip(delta, -1.0, 1.0), 0.0, 1.0)
     y_star = hermite_interp(y0, y1, f0, f1, dt, th_star)
     return crossed, th_star, y_star
 
@@ -287,7 +315,7 @@ def _make_step_body(rhs: RHS, event_fn: EventFn, cfg: IntegratorConfig):
             en = error_norm(err, st.y, y_new, cfg.rtol, cfg.atol)
             # Guard NaN/Inf states (e.g. ray fell into the singularity):
             bad = ~jnp.isfinite(en) | ~jnp.all(jnp.isfinite(y_new), axis=-1)
-            en = jnp.where(bad, jnp.inf, en)
+            en = jnp.where(bad, ERR_BIG, en)
             accept = en <= 1.0
             # PI controller (accepted) / plain shrink (rejected)
             en_c = jnp.maximum(en, 1e-10)

@@ -34,7 +34,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .integrate import TS_A, TS_BTILDE, IntegratorConfig, TraceResult
+from .integrate import (ERR_BIG as _ERR_BIG, TS_A, TS_BTILDE,
+                        IntegratorConfig, TraceResult)
 
 # Rays per tile = TILE_S * 128.
 TILE_S = 8
@@ -69,6 +70,12 @@ def sym4_inv(g: jax.Array) -> jax.Array:
     # det via first-row cofactor expansion
     cof0 = [((-1) ** c) * _det3(m, 0, c) for c in range(4)]
     det = sum(m[0][c] * cof0[c] for c in range(4))
+    # |det| clamp matching geometry.inv4 (see its rationale): keeps gu and
+    # its vjp products finite for garbage states near the bug-compatible
+    # metric's det=0 surface; a no-op for every live state (det ~ -1).
+    det_min = 1e-4 if jnp.dtype(g.dtype).itemsize <= 4 else 1e-12
+    det = jnp.where(det < 0, jnp.minimum(det, -det_min),
+                    jnp.maximum(det, det_min))
     inv_det = 1.0 / det
     rows = []
     for a in range(4):
@@ -127,9 +134,10 @@ def geodesic_cm(metric_cm: MetricCM, y: jax.Array) -> jax.Array:
     (geometry.STATE_CLAMP/RHS_CLAMP) so all three backends integrate
     identical dynamics and stay overflow-free in f32.
     """
-    from .geometry import RHS_CLAMP, STATE_CLAMP
+    from .geometry import sanitize_bounds
 
-    y = jnp.clip(y, -STATE_CLAMP, STATE_CLAMP)
+    state_clamp, rhs_clamp = sanitize_bounds(y.dtype)
+    y = jnp.clip(y, -state_clamp, state_clamp)
     x, u = y[:4], y[4:]
     gamma = christoffel_cm(metric_cm, x)
     udot = []
@@ -141,7 +149,7 @@ def geodesic_cm(metric_cm: MetricCM, y: jax.Array) -> jax.Array:
                 acc = term if acc is None else acc + term
         udot.append(-acc)
     k = jnp.concatenate([u, jnp.stack(udot)])
-    return jnp.clip(k, -RHS_CLAMP, RHS_CLAMP)
+    return jnp.clip(k, -rhs_clamp, rhs_clamp)
 
 
 def kerr_schild_cm(params, r_formula: str):
@@ -277,7 +285,11 @@ def _hermite_cm(y0, y1, f0, f1, dt, th):
 def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     """First-crossing localization; shapes (8,S,128)/(S,128)."""
     dtype = y0.dtype
-    d_prev = event_fn(y0)
+    # Gradient-opaque search phase (same rationale as the row-major
+    # _locate_event): bracketing + bisection is pure root finding.
+    sg = lax.stop_gradient
+    y0s, y1s, f0s, f1s, dts = sg(y0), sg(y1), sg(f0), sg(f1), sg(dt)
+    d_prev = event_fn(y0s)
     npts = cfg.interp_points
     th_lo = jnp.zeros_like(d_prev)
     th_hi = jnp.zeros_like(d_prev)
@@ -285,7 +297,7 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     prev_th = jnp.zeros_like(d_prev)
     for i in range(1, npts + 1):
         th = jnp.full_like(d_prev, i / npts)
-        d = event_fn(_hermite_cm(y0, y1, f0, f1, dt, th))
+        d = event_fn(_hermite_cm(y0s, y1s, f0s, f1s, dts, th))
         new = (d <= 0.0) & ~found
         th_lo = jnp.where(new, prev_th, th_lo)
         th_hi = jnp.where(new, th, th_hi)
@@ -296,25 +308,26 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     def bisect_body(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        d_mid = event_fn(_hermite_cm(y0, y1, f0, f1, dt, mid))
+        d_mid = event_fn(_hermite_cm(y0s, y1s, f0s, f1s, dts, mid))
         gt = d_mid > 0.0
         return jnp.where(gt, mid, lo), jnp.where(gt, hi, mid)
 
     lo, hi = lax.fori_loop(0, cfg.bisect_iters, bisect_body, (th_lo, th_hi))
 
-    # Newton/IFT polish from a gradient-stopped theta (see the row-major
-    # _locate_event): value unchanged, but theta* gradients flow through the
-    # root condition — required for correct pose/param gradients on the
-    # differentiable cm-scan path (a no-op for the forward-only kernel).
-    th0 = lax.stop_gradient(hi)
+    # Newton/IFT polish (see the row-major _locate_event): value unchanged,
+    # but theta* gradients flow through the root condition — required for
+    # correct pose/param gradients on the differentiable cm-scan path (a
+    # no-op for the forward-only kernel). Relative slope threshold +
+    # clipped correction keep every vjp quotient f32-finite.
+    th0 = hi  # already gradient-stopped
 
     def resid(theta):
         return event_fn(_hermite_cm(y0, y1, f0, f1, dt, theta))
 
     val, dval = jax.jvp(resid, (th0,), (jnp.ones_like(th0),))
-    ok = jnp.abs(dval) > 1e-30
-    th_star = jnp.where(ok, th0 - val / jnp.where(ok, dval, 1.0), th0)
-    th_star = jnp.clip(th_star, 0.0, 1.0)
+    ok = jnp.abs(dval) > 1e-3 * (1.0 + jnp.abs(val))
+    delta = jnp.where(ok, val, 0.0) / jnp.where(ok, dval, 1.0)
+    th_star = jnp.clip(th0 - jnp.clip(delta, -1.0, 1.0), 0.0, 1.0)
     y_star = _hermite_cm(y0, y1, f0, f1, dt, th_star)
     return crossed, th_star, y_star
 
@@ -351,9 +364,12 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
             y_new, err, k_last = _tsit5_step_cm(rhs, y, dt_try, k1)
             sc = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(y),
                                                    jnp.abs(y_new))
-            en = jnp.sqrt(jnp.mean((err / sc) ** 2, axis=0))
+            # Ratio clamp + finite "huge error" marker: see
+            # integrate.error_norm / ERR_BIG (f32 overflow -> NaN-grad trap).
+            ratio = jnp.clip(err / sc, -1e15, 1e15)
+            en = jnp.sqrt(jnp.mean(ratio ** 2, axis=0))
             bad = ~jnp.isfinite(en) | ~jnp.all(jnp.isfinite(y_new), axis=0)
-            en = jnp.where(bad, jnp.inf, en)
+            en = jnp.where(bad, _ERR_BIG, en)
             accept = en <= 1.0
             en_c = jnp.maximum(en, 1e-10)
             q_pi = (cfg.safety * en_c ** (-cfg.beta1)

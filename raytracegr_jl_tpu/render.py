@@ -89,13 +89,15 @@ def trace_batch(metric: MetricFn, scene: Scene, y0: jax.Array,
 
 
 def _sanitized_rhs(metric: MetricFn):
-    """RHS with the shared magnitude bounds (see geometry.STATE_CLAMP)."""
-    from .ops.geometry import RHS_CLAMP, STATE_CLAMP
+    """RHS with the shared dtype-aware magnitude bounds
+    (see geometry.sanitize_bounds for the derivation)."""
+    from .ops.geometry import sanitize_bounds
 
     def rhs(y):
-        y_safe = jnp.clip(y, -STATE_CLAMP, STATE_CLAMP)
+        state_clamp, rhs_clamp = sanitize_bounds(y.dtype)
+        y_safe = jnp.clip(y, -state_clamp, state_clamp)
         k = jax.vmap(lambda s: geodesic(s, metric))(y_safe)
-        return jnp.clip(k, -RHS_CLAMP, RHS_CLAMP)
+        return jnp.clip(k, -rhs_clamp, rhs_clamp)
     return rhs
 
 

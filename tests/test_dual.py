@@ -6,6 +6,7 @@ the full Kerr-Schild dmetric is a very strong oracle for both (mirrors the
 reference testing Duals via exact Rational arithmetic, test/runtests.jl:12-32).
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -137,3 +138,57 @@ def test_dual_batched_evaluation():
                               xs[0])
     np.testing.assert_allclose(np.asarray(g[0]), np.asarray(g0), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(dg[0]), np.asarray(dg0), rtol=1e-12)
+
+
+def test_getitem_nondiagonal_eps():
+    """ADVICE r1: d[..., i] must select coordinate i's tangent ROW, not
+    tangent component i — only distinguishable with an asymmetric eps."""
+    val = jnp.asarray([1.0, 2.0, 3.0])
+    eps = jnp.asarray([[1.0, 2.0, 3.0],
+                       [4.0, 5.0, 6.0],
+                       [7.0, 8.0, 9.0]])
+    d = du.Dual(val, eps)
+    d1 = d[..., 1]
+    np.testing.assert_array_equal(np.asarray(d1.val), 2.0)
+    np.testing.assert_array_equal(np.asarray(d1.eps), [4.0, 5.0, 6.0])
+    # reversal keeps rows attached to their coordinates
+    dr = d[..., ::-1]
+    np.testing.assert_array_equal(np.asarray(dr.val), [3.0, 2.0, 1.0])
+    np.testing.assert_array_equal(np.asarray(dr.eps), np.asarray(eps)[::-1])
+    # plain int / leading-axis indexing still works
+    b = du.Dual(jnp.stack([val, val + 10]), jnp.stack([eps, eps * 2]))
+    np.testing.assert_array_equal(np.asarray(b[1].eps), np.asarray(eps) * 2)
+
+
+def test_pow_zero_and_one_at_zero_base():
+    """ADVICE r1: x**0 must be the constant 1 (zero tangent) even at x=0,
+    mirroring the reference's literal_pow guard (RayTraceGR.jl:138)."""
+    d = du.Dual(jnp.asarray([0.0, 2.0]), jnp.asarray([[1.0, 0.], [0., 1.]]))
+    p0 = d ** 0
+    np.testing.assert_array_equal(np.asarray(p0.val), [1.0, 1.0])
+    assert np.all(np.asarray(p0.eps) == 0.0)
+    assert np.all(np.isfinite(np.asarray(p0.eps)))
+    p1 = d ** 1
+    np.testing.assert_array_equal(np.asarray(p1.val), np.asarray(d.val))
+    np.testing.assert_array_equal(np.asarray(p1.eps), np.asarray(d.eps))
+
+
+def test_kerr_schild_dual_rho_clamp_matches_production():
+    """ADVICE r1: the oracle must share the production path's rho_min clamp
+    (metrics.kerr_schild), including tangent semantics, near the origin."""
+    near_origin = jnp.asarray([0.0, 1e-5, -2e-5, 5e-6])
+    g1, dg1 = du.dmetric_dual(lambda d: du.kerr_schild_dual(d, 1.0, 0.0),
+                              near_origin)
+    g2, dg2 = dmetric(lambda xx: kerr_schild(xx, KerrSchildParams(1.0, 0.0)),
+                      near_origin)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(dg1), np.asarray(dg2),
+                               rtol=1e-10, atol=1e-12)
+    # clamp_min tangent semantics == jnp.maximum against a constant
+    x = jnp.asarray([0.5, 2.0, 1.0])  # below / above / at the threshold
+    d = du.Dual(x, jnp.eye(3))
+    c = du.clamp_min(d, 1.0)
+    val_j, tan_j = jax.jvp(lambda v: jnp.maximum(v, 1.0), (x,), (jnp.ones(3),))
+    np.testing.assert_array_equal(np.asarray(c.val), np.asarray(val_j))
+    np.testing.assert_allclose(np.asarray(c.eps.sum(-1)), np.asarray(tan_j))
