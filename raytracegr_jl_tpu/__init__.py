@@ -19,11 +19,13 @@ from .ops.metrics import (D, KerrSchildParams, kerr_schild, make_metric,
 from .ops.dual import Dual
 from .ops.geometry import (Ray, christoffel, dmetric, geodesic, r2s, s2r)
 from .ops.integrate import IntegratorConfig, TraceResult, integrate_rays
-from .models.objects import (Plane, Scene, Sphere, distances, make_scene,
-                             min_distance, shade, shade_soft)
+from .models.objects import (Disk, Plane, Scene, Sphere, distances,
+                             make_scene, min_distance, shade, shade_soft)
+from .models.shading import g_factors, keplerian_velocity, shade_redshift
 from .models.camera import Canvas, make_canvas
-from .models.scenes import (SceneSpec, build, example1, example1_spec,
-                            example2, example2_spec, render_spec)
+from .models.scenes import (SceneSpec, accretion_disk_spec, build, example1,
+                            example1_spec, example2, example2_spec,
+                            render_spec)
 from .render import RenderConfig, default_tol, render_fn, trace_rays
 from .utils.image import canvas_to_image, load_png, save_png
 

@@ -30,6 +30,7 @@ from ..ops.metrics import D
 
 KIND_SPHERE = 0
 KIND_PLANE = 1
+KIND_DISK = 2
 
 
 class Sphere(NamedTuple):
@@ -50,6 +51,25 @@ class Plane(NamedTuple):
     time: float
 
 
+class Disk(NamedTuple):
+    """Equatorial accretion disk: an annulus ``r_in <= rho <= r_out`` of
+    half-thickness ``half`` in the z = pos[3] plane (BASELINE.json config 4).
+
+    Beyond the reference: its object protocol (RayTraceGR.jl:374-389) defines
+    the signed-distance contract this satisfies, and its ``Sphere.vel`` +
+    ``# TODO: Use metric?`` (RayTraceGR.jl:416) is the metric-aware-shading
+    hook this realizes — disk matter moves on circular Keplerian orbits about
+    the z-axis and is shaded by its gravitational+Doppler g-factor
+    (models/shading.py). Center the disk on the black hole for the orbit
+    physics to make sense; keep ``r_in`` at/above the ISCO.
+    """
+
+    pos: Sequence[float]  # center x^a, length 4 (put it at the hole)
+    r_in: float  # inner radius (>= ISCO for physical orbits)
+    r_out: float  # outer radius
+    half: float = 0.02  # half-thickness in z
+
+
 class Scene(NamedTuple):
     """Struct-of-arrays over N objects; a jit-friendly pytree.
 
@@ -58,20 +78,25 @@ class Scene(NamedTuple):
     breaks distance ties by earliest index (RayTraceGR.jl:520-526).
     """
 
-    kind: jax.Array  # [N] int32, KIND_SPHERE or KIND_PLANE
-    pos: jax.Array  # [N, 4] sphere centers (zeros for planes)
-    vel: jax.Array  # [N, 4] sphere velocities (unused)
-    radius: jax.Array  # [N] sphere radii (1 for planes, avoids 0-div)
-    time: jax.Array  # [N] plane times (0 for spheres)
+    kind: jax.Array  # [N] int32, KIND_SPHERE / KIND_PLANE / KIND_DISK
+    pos: jax.Array  # [N, 4] sphere/disk centers (zeros for planes)
+    vel: jax.Array  # [N, 4] emitter 4-velocities (redshift shading)
+    radius: jax.Array  # [N] sphere radii (1 for planes/disks, avoids 0-div)
+    time: jax.Array  # [N] plane times (0 for spheres/disks)
+    r_in: jax.Array  # [N] disk inner radii (0 otherwise)
+    r_out: jax.Array  # [N] disk outer radii (1 otherwise)
+    half: jax.Array  # [N] disk half-thicknesses (1 otherwise)
 
     @property
     def n_objects(self) -> int:
         return self.kind.shape[0]
 
 
-def make_scene(objects: Sequence[Sphere | Plane], dtype=jnp.float64) -> Scene:
+def make_scene(objects: Sequence[Sphere | Plane | Disk],
+               dtype=jnp.float64) -> Scene:
     """Pack a heterogeneous object list into a Scene pytree."""
     kind, pos, vel, radius, time = [], [], [], [], []
+    r_in, r_out, half = [], [], []
     for obj in objects:
         if isinstance(obj, Sphere):
             kind.append(KIND_SPHERE)
@@ -79,12 +104,21 @@ def make_scene(objects: Sequence[Sphere | Plane], dtype=jnp.float64) -> Scene:
             vel.append(list(obj.vel))
             radius.append(obj.radius)
             time.append(0.0)
+            r_in.append(0.0), r_out.append(1.0), half.append(1.0)
         elif isinstance(obj, Plane):
             kind.append(KIND_PLANE)
             pos.append([0.0] * D)
             vel.append([0.0] * D)
             radius.append(1.0)
             time.append(obj.time)
+            r_in.append(0.0), r_out.append(1.0), half.append(1.0)
+        elif isinstance(obj, Disk):
+            kind.append(KIND_DISK)
+            pos.append(list(obj.pos))
+            vel.append([1.0, 0.0, 0.0, 0.0])  # overridden by Keplerian flow
+            radius.append(1.0)
+            time.append(0.0)
+            r_in.append(obj.r_in), r_out.append(obj.r_out), half.append(obj.half)
         else:
             raise TypeError(f"unknown object type: {type(obj)!r}")
     return Scene(
@@ -93,6 +127,9 @@ def make_scene(objects: Sequence[Sphere | Plane], dtype=jnp.float64) -> Scene:
         vel=jnp.asarray(vel, dtype),
         radius=jnp.asarray(radius, dtype),
         time=jnp.asarray(time, dtype),
+        r_in=jnp.asarray(r_in, dtype),
+        r_out=jnp.asarray(r_out, dtype),
+        half=jnp.asarray(half, dtype),
     )
 
 
@@ -103,10 +140,19 @@ def distances(scene: Scene, x: jax.Array) -> jax.Array:
     (docstring contract at RayTraceGR.jl:377-383).
     """
     xs = x[..., None, 1:]  # [..., 1, 3] spatial part
-    d2 = jnp.sum((xs - scene.pos[..., :, 1:]) ** 2, axis=-1)  # [..., N]
+    rel = xs - scene.pos[..., :, 1:]  # [..., N, 3]
+    d2 = jnp.sum(rel ** 2, axis=-1)  # [..., N]
     sphere_d = jnp.sign(scene.radius) * (d2 - scene.radius**2)
     plane_d = x[..., None, 0] - scene.time
-    return jnp.where(scene.kind == KIND_SPHERE, sphere_d, plane_d)
+    # Disk: intersection of slab |z - z0| <= half with the quadratic annulus
+    # test (same quadratic-form convention as the Sphere quirk). max() of the
+    # three signed constraints is < 0 exactly inside the disk volume.
+    rho2 = rel[..., 0] ** 2 + rel[..., 1] ** 2  # cylindrical radius^2
+    disk_d = jnp.maximum(jnp.abs(rel[..., 2]) - scene.half,
+                         jnp.maximum(rho2 - scene.r_out ** 2,
+                                     scene.r_in ** 2 - rho2))
+    return jnp.where(scene.kind == KIND_SPHERE, sphere_d,
+                     jnp.where(scene.kind == KIND_PLANE, plane_d, disk_d))
 
 
 def min_distance(scene: Scene, s: jax.Array) -> jax.Array:
@@ -148,7 +194,15 @@ def colors(scene: Scene, x: jax.Array, smooth: bool = False) -> jax.Array:
     plane_rgb = jnp.stack(
         [jnp.zeros_like(r), jnp.full_like(r, 0.5), jnp.zeros_like(r)], axis=-1
     )
-    return jnp.where((scene.kind == KIND_SPHERE)[..., None], sphere_rgb, plane_rgb)
+    # Disk base pattern: radial rings x azimuthal checker (the redshift
+    # shading in models/shading.py modulates this by the g-factor).
+    rho_cyl = jnp.sqrt(xx * xx + yy * yy)
+    disk_rgb = jnp.stack(
+        [wave(rho_cyl), wave(6 * phi / jnp.pi), jnp.full_like(r, 0.9)],
+        axis=-1)
+    return jnp.where((scene.kind == KIND_SPHERE)[..., None], sphere_rgb,
+                     jnp.where((scene.kind == KIND_PLANE)[..., None],
+                               plane_rgb, disk_rgb))
 
 
 def shade(scene: Scene, x: jax.Array, hit_dmin: float = 0.01) -> jax.Array:

@@ -1,6 +1,9 @@
-"""Example scenes, mirroring the reference's example1/example2
-(/root/reference/src/RayTraceGR.jl:542-612) plus extended configs from
-BASELINE.json (spinning Kerr, accretion disk) that the reference lacks.
+"""Example scenes: the reference's example1/example2
+(/root/reference/src/RayTraceGR.jl:542-612) exactly, plus the BASELINE.json
+configs the reference lacks — spinning Kerr (``example2_spec(a=..., \
+r_formula="textbook")``) and the accretion-disk + gravitational-redshift
+scene (``accretion_disk_spec``, rendered with
+``RenderConfig(shading="redshift")``).
 
 Unlike the reference — where scenes are hard-coded Julia literals
 (README.md:81-84) — scenes here are data: a ``SceneSpec`` pytree the renderer
@@ -14,7 +17,7 @@ from typing import NamedTuple, Sequence
 import jax.numpy as jnp
 
 from ..models.camera import Canvas, make_canvas
-from ..models.objects import Plane, Scene, Sphere, make_scene
+from ..models.objects import Disk, Plane, Scene, Sphere, make_scene
 from ..ops.metrics import KerrSchildParams, make_metric
 from ..render import IntegratorConfig, RenderConfig, default_tol, trace_rays
 
@@ -70,6 +73,38 @@ def example2_spec(ni: int = 200, nj: int = 200, M: float = 1.0,
         cam_widthx=(0, 1, 0, 0),
         cam_widthy=(0, 0, 0, 1),
         cam_normal=(0, 0, 1, 0),
+        ni=ni,
+        nj=nj,
+    )
+
+
+def accretion_disk_spec(ni: int = 1024, nj: int = 1024, M: float = 1.0,
+                        a: float = 0.8) -> SceneSpec:
+    """Accretion disk around a spinning Kerr black hole (BASELINE.json
+    config 4) — real physics, so the TEXTBOOK radius formula.
+
+    Disk annulus rho in [3, 12] M (inner edge at the a=0.8 prograde ISCO
+    ~2.9 M), half-thickness 0.1, in the hole's equatorial plane; a caelum
+    sky sphere closes the scene. Camera at spatial (0, -20, 4) — inclination
+    ~79 deg from the spin axis, close enough to edge-on that Doppler beaming
+    of the Keplerian flow (approaching side bright/blue, receding side
+    dim/red) and the lensed far side are both visible. Render with
+    ``RenderConfig(shading="redshift", integrator=IntegratorConfig(
+    stop_rho=1.0, ...))`` — see tests/test_shading.py and
+    benchmarks/disk_render.py.
+    """
+    return SceneSpec(
+        metric_name="kerr_schild",
+        metric_params=KerrSchildParams(M=M, a=a),
+        r_formula="textbook",
+        objects=(
+            Sphere(pos=(0, 0, 0, 0), vel=(1, 0, 0, 0), radius=-30.0),
+            Disk(pos=(0, 0, 0, 0), r_in=3.0, r_out=12.0, half=0.1),
+        ),
+        cam_pos=(0, 0, -20, 4),
+        cam_widthx=(0, 1.3, 0, 0),
+        cam_widthy=(0, 0, 0.2549, 1.2748),  # 1.3 * (x_hat cross view_dir)
+        cam_normal=(0, 0, 0.9806, -0.1961),  # unit vector toward the hole
         ni=ni,
         nj=nj,
     )

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import json
 
-from ..models.objects import Plane, Sphere
+from ..models.objects import Disk, Plane, Sphere
 from ..models.scenes import SceneSpec
 from ..ops.metrics import KerrSchildParams
 
@@ -24,6 +24,10 @@ def spec_to_dict(spec: SceneSpec) -> dict:
                          "vel": list(o.vel), "radius": float(o.radius)})
         elif isinstance(o, Plane):
             objs.append({"type": "plane", "time": float(o.time)})
+        elif isinstance(o, Disk):
+            objs.append({"type": "disk", "pos": list(o.pos),
+                         "r_in": float(o.r_in), "r_out": float(o.r_out),
+                         "half": float(o.half)})
         else:
             raise TypeError(f"unknown object: {o!r}")
     return {
@@ -47,6 +51,9 @@ def spec_from_dict(d: dict) -> SceneSpec:
                                radius=o["radius"]))
         elif o["type"] == "plane":
             objs.append(Plane(time=o["time"]))
+        elif o["type"] == "disk":
+            objs.append(Disk(pos=tuple(o["pos"]), r_in=o["r_in"],
+                             r_out=o["r_out"], half=o["half"]))
         else:
             raise ValueError(f"unknown object type: {o['type']!r}")
     cam = d["camera"]

@@ -67,13 +67,24 @@ class IntegratorConfig(NamedTuple):
     lam_max: float = 100.0  # affine-parameter span (0, 100)
     max_steps: int = 10_000  # while_loop iteration bound (accept+reject)
     rk4_dt: float = 0.05  # fixed step for method="rk4"
-    interp_points: int = 8  # interior event samples per step
+    # 9 interior samples at theta = k/9 — the same grid as ContinuousCallback's
+    # default interp_points=10 INCLUSIVE range(tprev, t, length=10), which the
+    # reference relies on (RayTraceGR.jl:488-490). Grazing-ray hit detection
+    # (sphere silhouettes) is sensitive to this spacing.
+    interp_points: int = 9
     bisect_iters: int = 40  # event bisection refinements
     safety: float = 0.9
     qmin: float = 0.2
     qmax: float = 10.0
     beta1: float = 7.0 / 50.0  # PI controller gains (order-5 defaults)
     beta2: float = 2.0 / 25.0
+    # OrdinaryDiffEq's qoldinit: the PI controller's memory term qold is
+    # floored at 1e-4 (init and update). With an exactly-zero error estimate
+    # (straight rays in flat space) this makes accepted steps grow by the full
+    # qmax=10 per step, as the reference's solver does — a tighter floor grows
+    # them by only ~3.6x, changing the event-sampling density and flipping
+    # grazing-ray hits at sphere silhouettes vs the reference goldens.
+    qold_init: float = 1e-4
     dt_min: float = 1e-14
     # Capture-stop: kill rays whose spatial coordinate radius drops below
     # this (0 = disabled). For black-hole scenes set it inside the horizon:
@@ -320,7 +331,7 @@ def _make_step_body(rhs: RHS, event_fn: EventFn, cfg: IntegratorConfig):
             # PI controller (accepted) / plain shrink (rejected)
             en_c = jnp.maximum(en, 1e-10)
             q_pi = (cfg.safety * en_c ** (-cfg.beta1)
-                    * jnp.maximum(st.err_old, 1e-10) ** cfg.beta2)
+                    * jnp.maximum(st.err_old, cfg.qold_init) ** cfg.beta2)
             q_rej = cfg.safety * en_c ** (-0.2)
             q = jnp.where(accept, q_pi, jnp.minimum(q_rej, 1.0))
             q = jnp.clip(q, cfg.qmin, cfg.qmax)
@@ -368,7 +379,7 @@ def _make_step_body(rhs: RHS, event_fn: EventFn, cfg: IntegratorConfig):
         active = st.active & ~hit_now & ~(do & done_span) & ~dead
         steps = st.steps + do.astype(st.steps.dtype)
         dt = jnp.where(st.active, dt_next, st.dt)
-        err_old = jnp.where(do, jnp.maximum(en, 1e-10), st.err_old)
+        err_old = jnp.where(do, jnp.maximum(en, cfg.qold_init), st.err_old)
 
         return _LoopState(y=y, lam=lam, dt=dt, k1=k1, active=active, hit=hit,
                           steps=steps, err_old=err_old, it=st.it + 1)
@@ -391,7 +402,7 @@ def _init_state(rhs, y0, cfg: IntegratorConfig) -> _LoopState:
         active=jnp.ones((B,), bool),
         hit=jnp.zeros((B,), bool),
         steps=jnp.zeros((B,), jnp.int32),
-        err_old=jnp.ones((B,), dtype),
+        err_old=jnp.full((B,), cfg.qold_init, dtype),
         it=jnp.zeros((), jnp.int32),
     )
 

@@ -144,6 +144,7 @@ def make_metric(
             return minkowski(x)
         from .pallas_geodesic import minkowski_cm
         fn.component_major = minkowski_cm()
+        fn.params = KerrSchildParams(M=0.0, a=0.0)  # flat: no hole
         return fn
     if name == "kerr_schild":
         p = params if params is not None else KerrSchildParams()
@@ -152,5 +153,6 @@ def make_metric(
             return kerr_schild(x, p, r_formula=r_formula)
         from .pallas_geodesic import kerr_schild_cm
         fn.component_major = kerr_schild_cm(p, r_formula)
+        fn.params = p
         return fn
     raise ValueError(f"unknown metric: {name!r}")

@@ -224,16 +224,19 @@ def scene_event_cm(scene, *, literal: bool = False):
     constants (forward render only; the scene must be concrete).
     """
     import numpy as np
-    from ..models.objects import KIND_SPHERE
+    from ..models.objects import KIND_PLANE, KIND_SPHERE
 
     kind = np.asarray(scene.kind)  # concrete structure, never traced
     if literal:
         pos = np.asarray(scene.pos)
         radius = np.asarray(scene.radius)
         time = np.asarray(scene.time)
+        r_in, r_out, half = (np.asarray(scene.r_in), np.asarray(scene.r_out),
+                             np.asarray(scene.half))
         get = lambda arr, *idx: float(arr[idx])
     else:
         pos, radius, time = scene.pos, scene.radius, scene.time
+        r_in, r_out, half = scene.r_in, scene.r_out, scene.half
         get = lambda arr, *idx: arr[idx]
 
     def event(y):
@@ -246,8 +249,17 @@ def scene_event_cm(scene, *, literal: bool = False):
                 dz = zs - get(pos, i, 3)
                 r = get(radius, i)
                 di = jnp.sign(r) * (dx * dx + dy * dy + dz * dz - r * r)
-            else:
+            elif kind[i] == KIND_PLANE:
                 di = t - get(time, i)
+            else:  # KIND_DISK: slab /\ quadratic annulus (objects.distances)
+                dx = xs - get(pos, i, 1)
+                dy = ys - get(pos, i, 2)
+                dz = zs - get(pos, i, 3)
+                rho2 = dx * dx + dy * dy
+                di = jnp.maximum(
+                    jnp.abs(dz) - get(half, i),
+                    jnp.maximum(rho2 - get(r_out, i) ** 2,
+                                get(r_in, i) ** 2 - rho2))
             d = di if d is None else jnp.minimum(d, di)
         return d
 
@@ -373,7 +385,7 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
             accept = en <= 1.0
             en_c = jnp.maximum(en, 1e-10)
             q_pi = (cfg.safety * en_c ** (-cfg.beta1)
-                    * jnp.maximum(err_old, 1e-10) ** cfg.beta2)
+                    * jnp.maximum(err_old, cfg.qold_init) ** cfg.beta2)
             q_rej = cfg.safety * en_c ** (-0.2)
             q = jnp.where(accept, q_pi, jnp.minimum(q_rej, 1.0))
             q = jnp.clip(q, cfg.qmin, cfg.qmax)
@@ -410,7 +422,7 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
         active = active & ~hit_now & ~(do & done_span) & ~dead
         steps = steps + do.astype(steps.dtype)
         dt = jnp.where(active, dt_next, dt)
-        err_old = jnp.where(do, jnp.maximum(en, 1e-10), err_old)
+        err_old = jnp.where(do, jnp.maximum(en, cfg.qold_init), err_old)
         return (y, lam, dt, k1, active.astype(dtype), hit.astype(dtype),
                 steps, err_old, it + 1)
 
@@ -419,7 +431,7 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
         zero = jnp.zeros_like(dt0)
         return (y0, zero, dt0, rhs(y0), act0_f.astype(dtype),
                 jnp.zeros_like(dt0), jnp.zeros(dt0.shape, jnp.int32),
-                jnp.ones_like(dt0), jnp.zeros((), jnp.int32))
+                jnp.full_like(dt0, cfg.qold_init), jnp.zeros((), jnp.int32))
 
     return cond, body, init
 

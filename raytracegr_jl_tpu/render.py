@@ -39,6 +39,10 @@ class RenderConfig(NamedTuple):
     pallas_interpret: bool = False  # run the Pallas kernel interpreted (CPU)
     soft_temp: float | None = None  # None => reference hard shading;
     # a float => differentiable soft shading (models/objects.shade_soft)
+    shading: str = "reference"  # "reference" (RayTraceGR.jl:513-535 exactly)
+    # | "redshift" (g-factor beaming, models/shading.py)
+    beaming: float = 4.0  # redshift mode: I_obs = g**beaming * I_emit
+    exposure: float = 1.0  # redshift mode: brightness scale before clipping
 
 
 def default_tol(dtype) -> float:
@@ -128,14 +132,22 @@ def trace_rays(metric: MetricFn, scene: Scene, canvas: Canvas,
     ni, nj = canvas.shape
     y0 = jnp.concatenate([canvas.pos, canvas.normal], axis=-1).reshape(-1, 8)
     res = trace_batch(metric, scene, y0, cfg)
-    rgb = _shade(scene, res.y[..., :4], cfg).reshape(ni, nj, 3)
+    rgb = _shade(metric, scene, y0, res.y, cfg).reshape(ni, nj, 3)
     return canvas._replace(rgb=rgb)
 
 
-def _shade(scene: Scene, x: jax.Array, cfg: RenderConfig) -> jax.Array:
+def _shade(metric: MetricFn, scene: Scene, y0: jax.Array, y: jax.Array,
+           cfg: RenderConfig) -> jax.Array:
+    if cfg.shading == "redshift":
+        from .models.shading import shade_redshift
+        from .ops.metrics import KerrSchildParams
+
+        p = getattr(metric, "params", KerrSchildParams(M=0.0, a=0.0))
+        return shade_redshift(metric, scene, y0, y, p.M, p.a, cfg.hit_dmin,
+                              cfg.beaming, cfg.exposure)
     if cfg.soft_temp is not None:
-        return shade_soft(scene, x, cfg.hit_dmin, cfg.soft_temp)
-    return shade(scene, x, cfg.hit_dmin)
+        return shade_soft(scene, y[..., :4], cfg.hit_dmin, cfg.soft_temp)
+    return shade(scene, y[..., :4], cfg.hit_dmin)
 
 
 def render_fn(metric: MetricFn, scene: Scene, cfg: RenderConfig):
@@ -148,7 +160,7 @@ def render_fn(metric: MetricFn, scene: Scene, cfg: RenderConfig):
         y0 = jnp.concatenate([pos, normal], axis=-1)
         flat = y0.reshape(-1, 8)
         res = trace_batch(metric, scene, flat, cfg)
-        rgb = _shade(scene, res.y[..., :4], cfg)
+        rgb = _shade(metric, scene, flat, res.y, cfg)
         return rgb.reshape(pos.shape[:-1] + (3,))
 
     return fn
