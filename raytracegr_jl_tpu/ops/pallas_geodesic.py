@@ -307,6 +307,7 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     th_hi = jnp.zeros_like(d_prev)
     found = jnp.zeros_like(d_prev, dtype=bool)
     prev_th = jnp.zeros_like(d_prev)
+    d_list = [d_prev]  # d at theta = i/npts, i = 0..npts
     for i in range(1, npts + 1):
         th = jnp.full_like(d_prev, i / npts)
         d = event_fn(_hermite_cm(y0s, y1s, f0s, f1s, dts, th))
@@ -315,6 +316,39 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
         th_hi = jnp.where(new, th, th_hi)
         found = found | new
         prev_th = th
+        d_list.append(d)
+
+    if cfg.refine_minima:
+        # Grazing-hit rescue (see the row-major _locate_event): trisect a
+        # one-subinterval bracket around the global argmin of the samples
+        # (clamped at the step edges); fire if the refined minimum dips <= 0.
+        d_best = d_list[0]
+        a0 = jnp.zeros_like(d_prev)
+        b0 = jnp.full_like(d_prev, 1.0 / npts)
+        for i in range(1, npts + 1):
+            better = d_list[i] < d_best
+            d_best = jnp.where(better, d_list[i], d_best)
+            a0 = jnp.where(better, (i - 1) / npts, a0)
+            b0 = jnp.where(better, min((i + 1) / npts, 1.0), b0)
+
+        def tri_body(_, ab):
+            a, b = ab
+            m1 = a + (b - a) / 3.0
+            m2 = b - (b - a) / 3.0
+            f1_ = event_fn(_hermite_cm(y0s, y1s, f0s, f1s, dts, m1))
+            f2_ = event_fn(_hermite_cm(y0s, y1s, f0s, f1s, dts, m2))
+            take = f1_ < f2_
+            return jnp.where(take, a, m1), jnp.where(take, m2, b)
+
+        aN, bN = lax.fori_loop(0, cfg.min_refine_iters, tri_body, (a0, b0))
+        th_min = 0.5 * (aN + bN)
+        d_min = event_fn(_hermite_cm(y0s, y1s, f0s, f1s, dts, th_min))
+        min_neg = d_min <= 0.0
+        use_min = min_neg & (~found | (a0 < th_lo))
+        th_lo = jnp.where(use_min, a0, th_lo)
+        th_hi = jnp.where(use_min, th_min, th_hi)
+        found = found | min_neg
+
     crossed = found & (d_prev > 0.0)
 
     def bisect_body(_, carry):
