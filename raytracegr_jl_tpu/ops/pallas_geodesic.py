@@ -60,57 +60,85 @@ def _det3(m, r, c):
     return a * (e * i - f * h) - b * (d * i - f * g_) + c0 * (d * h - e * g_)
 
 
-def sym4_inv(g: jax.Array) -> jax.Array:
-    """Closed-form inverse of a symmetric 4x4 metric, batched over lanes.
+def sym4_inv_list(m):
+    """Closed-form inverse of a symmetric 4x4 metric given (and returned) as
+    a 4x4 python list of batched arrays — NO stacked intermediate tensors.
 
-    ``g``: (4, 4, S, 128) -> (4, 4, S, 128). Adjugate/determinant expansion,
-    fully elementwise on the VPU (jnp.linalg.inv does not lower in Mosaic).
+    The list representation is load-bearing for reverse-mode AD: indexing a
+    stacked (4, 4, ...) tensor component-wise transposes into a mesh of
+    pad/concat ops whose XLA simplification is superlinear (a single step
+    body's backward pass took minutes to *compile*); pure elementwise graphs
+    on the component arrays transpose cleanly.
     """
-    m = [[g[a, b] for b in range(4)] for a in range(4)]
     # det via first-row cofactor expansion
     cof0 = [((-1) ** c) * _det3(m, 0, c) for c in range(4)]
     det = sum(m[0][c] * cof0[c] for c in range(4))
     # |det| clamp matching geometry.inv4 (see its rationale): keeps gu and
     # its vjp products finite for garbage states near the bug-compatible
     # metric's det=0 surface; a no-op for every live state (det ~ -1).
-    det_min = 1e-4 if jnp.dtype(g.dtype).itemsize <= 4 else 1e-12
+    det_min = 1e-4 if jnp.dtype(m[0][0].dtype).itemsize <= 4 else 1e-12
     det = jnp.where(det < 0, jnp.minimum(det, -det_min),
                     jnp.maximum(det, det_min))
     inv_det = 1.0 / det
-    rows = []
-    for a in range(4):
-        row = []
-        for b in range(4):
-            # adjugate: transpose of cofactor matrix; g symmetric => same
-            sign = (-1) ** (a + b)
-            row.append(sign * _det3(m, b, a) * inv_det)
-        rows.append(jnp.stack(row))
-    return jnp.stack(rows)
+    # adjugate: transpose of cofactor matrix; g symmetric => same
+    return [[((-1) ** (a + b)) * _det3(m, b, a) * inv_det for b in range(4)]
+            for a in range(4)]
+
+
+def sym4_inv(g: jax.Array) -> jax.Array:
+    """Stacked API: (4, 4, S, 128) -> (4, 4, S, 128) (kernel/tests)."""
+    m = [[g[a, b] for b in range(4)] for a in range(4)]
+    inv = sym4_inv_list(m)
+    return jnp.stack([jnp.stack(row) for row in inv])
+
+
+def metric_list_of(metric_cm: MetricCM):
+    """List-level metric ``[x0..x3] -> [[g_ab]]``: the native ``list_fn``
+    attached by kerr_schild_cm/minkowski_cm, or an adapter over the stacked
+    API (correct but reverse-AD-slow — only used for custom metrics)."""
+    lf = getattr(metric_cm, "list_fn", None)
+    if lf is not None:
+        return lf
+
+    def adapted(xl):
+        g = metric_cm(jnp.stack(xl))
+        return [[g[a, b] for b in range(4)] for a in range(4)]
+
+    return adapted
+
+
+def dmetric_cm_list(list_fn, xl):
+    """(g, dg) as nested lists: ``g[a][b]``, ``dg[c][a][b] = d_c g_ab``.
+
+    One jax.jvp per coordinate — the same forward-mode derivative the
+    reference's dual numbers compute (RayTraceGR.jl:298-313), on component
+    lists so the graph stays elementwise.
+    """
+    g = None
+    dg = []
+    for c in range(4):
+        tangent = [jnp.ones_like(xl[0]) if i == c else jnp.zeros_like(xl[0])
+                   for i in range(4)]
+        g, dgc = jax.jvp(list_fn, (xl,), (tangent,))
+        dg.append(dgc)
+    return g, dg
 
 
 def dmetric_cm(metric_cm: MetricCM, x: jax.Array):
-    """(g, dg) with ``dg[c, a, b] = d_c g_ab``; x: (4, S, 128)."""
-    def jvp_c(c):
-        # Static stack, not .at[c].set: scatter has no Mosaic lowering.
-        tangent = jnp.stack([
-            jnp.ones_like(x[0]) if i == c else jnp.zeros_like(x[0])
-            for i in range(4)
-        ])
-        return jax.jvp(metric_cm, (x,), (tangent,))
-
-    g, d0 = jvp_c(0)
-    _, d1 = jvp_c(1)
-    _, d2 = jvp_c(2)
-    _, d3 = jvp_c(3)
-    return g, jnp.stack([d0, d1, d2, d3])  # (4, 4, 4, S, 128)
+    """Stacked API: (g (4,4,S,128), dg (4,4,4,S,128)) with
+    ``dg[c, a, b] = d_c g_ab``."""
+    g, dg = dmetric_cm_list(metric_list_of(metric_cm),
+                            [x[i] for i in range(4)])
+    st2 = lambda m: jnp.stack([jnp.stack(r) for r in m])
+    return st2(g), jnp.stack([st2(d) for d in dg])
 
 
-def christoffel_cm(metric_cm: MetricCM, x: jax.Array) -> jax.Array:
-    """Gamma^a_bc as (4, 4, 4, S, 128); mirrors ops/geometry.christoffel."""
-    g, dg = dmetric_cm(metric_cm, x)
-    gu = sym4_inv(g)
+def christoffel_cm_list(list_fn, xl):
+    """Gamma^a_bc as a nested [4][4][4] list of (S, 128) arrays."""
+    g, dg = dmetric_cm_list(list_fn, xl)
+    gu = sym4_inv_list(g)
+    gamma = []
     # Gamma_l[d,b,c] = (d_c g_db + d_b g_dc - d_d g_bc)/2
-    rows = []
     for a in range(4):
         mat = []
         for b in range(4):
@@ -118,13 +146,21 @@ def christoffel_cm(metric_cm: MetricCM, x: jax.Array) -> jax.Array:
             for c in range(4):
                 acc = None
                 for d in range(4):
-                    gl = 0.5 * (dg[c, d, b] + dg[b, d, c] - dg[d, b, c])
-                    term = gu[a, d] * gl
+                    gl = 0.5 * (dg[c][d][b] + dg[b][d][c] - dg[d][b][c])
+                    term = gu[a][d] * gl
                     acc = term if acc is None else acc + term
                 row.append(acc)
-            mat.append(jnp.stack(row))
-        rows.append(jnp.stack(mat))
-    return jnp.stack(rows)
+            mat.append(row)
+        gamma.append(mat)
+    return gamma
+
+
+def christoffel_cm(metric_cm: MetricCM, x: jax.Array) -> jax.Array:
+    """Stacked API: Gamma^a_bc as (4, 4, 4, S, 128)."""
+    gamma = christoffel_cm_list(metric_list_of(metric_cm),
+                                [x[i] for i in range(4)])
+    return jnp.stack([jnp.stack([jnp.stack(row) for row in mat])
+                      for mat in gamma])
 
 
 def geodesic_cm(metric_cm: MetricCM, y: jax.Array) -> jax.Array:
@@ -132,23 +168,27 @@ def geodesic_cm(metric_cm: MetricCM, y: jax.Array) -> jax.Array:
 
     Sanitized with the same bounds as the row-major path
     (geometry.STATE_CLAMP/RHS_CLAMP) so all three backends integrate
-    identical dynamics and stay overflow-free in f32.
+    identical dynamics and stay overflow-free in f32. Internally all
+    component math runs on python lists (one unstack on entry, one stack on
+    exit) — see sym4_inv_list for why this representation is required for
+    tractable reverse-mode compilation.
     """
     from .geometry import sanitize_bounds
 
     state_clamp, rhs_clamp = sanitize_bounds(y.dtype)
     y = jnp.clip(y, -state_clamp, state_clamp)
-    x, u = y[:4], y[4:]
-    gamma = christoffel_cm(metric_cm, x)
+    yl = [y[i] for i in range(8)]
+    xl, ul = yl[:4], yl[4:]
+    gamma = christoffel_cm_list(metric_list_of(metric_cm), xl)
     udot = []
     for a in range(4):
         acc = None
         for b in range(4):
             for c in range(4):
-                term = gamma[a, b, c] * u[b] * u[c]
+                term = gamma[a][b][c] * ul[b] * ul[c]
                 acc = term if acc is None else acc + term
         udot.append(-acc)
-    k = jnp.concatenate([u, jnp.stack(udot)])
+    k = jnp.stack(ul + udot)
     return jnp.clip(k, -rhs_clamp, rhs_clamp)
 
 
@@ -160,11 +200,11 @@ def kerr_schild_cm(params, r_formula: str):
     """
     from .metrics import R_AS_WRITTEN, R_TEXTBOOK
 
-    def metric_cm(x):
-        dtype = x.dtype
+    def list_fn(xl):
+        dtype = xl[0].dtype
         M = jnp.asarray(params.M, dtype)
         a = jnp.asarray(params.a, dtype)
-        xs, ys, zs = x[1], x[2], x[3]
+        xs, ys, zs = xl[1], xl[2], xl[3]
         rho2 = xs * xs + ys * ys + zs * zs
         rho2 = jnp.maximum(rho2, 1e-6)  # rho_min=1e-3, as in metrics.kerr_schild
         half = (rho2 - a * a) / 2
@@ -181,30 +221,30 @@ def kerr_schild_cm(params, r_formula: str):
         k = [jnp.ones_like(r), (r * xs + a * ys) / denom,
              (r * ys - a * xs) / denom, zs / r]
         eta_diag = (-1.0, 1.0, 1.0, 1.0)
-        rows = []
-        for i in range(4):
-            row = []
-            for j in range(4):
-                gij = f * k[i] * k[j]
-                if i == j:
-                    gij = gij + eta_diag[i]
-                row.append(gij)
-            rows.append(jnp.stack(row))
-        return jnp.stack(rows)
+        fk = [f * ki for ki in k]
+        return [[fk[i] * k[j] + (eta_diag[i] if i == j else 0.0)
+                 for j in range(4)] for i in range(4)]
 
+    def metric_cm(x):
+        g = list_fn([x[i] for i in range(4)])
+        return jnp.stack([jnp.stack(row) for row in g])
+
+    metric_cm.list_fn = list_fn
     return metric_cm
 
 
 def minkowski_cm():
+    def list_fn(xl):
+        zero = jnp.zeros_like(xl[0])
+        one = jnp.ones_like(xl[0])
+        return [[(-one if i == 0 else one) if i == j else zero
+                 for j in range(4)] for i in range(4)]
+
     def metric_cm(x):
-        zero = jnp.zeros_like(x[0])
-        one = jnp.ones_like(x[0])
-        rows = []
-        for i in range(4):
-            rows.append(jnp.stack(
-                [(-one if i == 0 else one) if i == j else zero
-                 for j in range(4)]))
-        return jnp.stack(rows)
+        g = list_fn([x[i] for i in range(4)])
+        return jnp.stack([jnp.stack(row) for row in g])
+
+    metric_cm.list_fn = list_fn
     return metric_cm
 
 

@@ -9,9 +9,13 @@ and the inversion config all-reduces only the tiny (M, a, pose) gradient
 pytree — XLA inserts the psum over ICI automatically from the sharding
 annotations.
 
-Multi-host: call ``jax.distributed.initialize()`` before building the mesh;
-everything below is host-count agnostic because it only speaks in terms of
-the global mesh.
+Multi-host: call ``init_distributed()`` (a guarded
+``jax.distributed.initialize`` wrapper) once per process before any backend
+use; everything below is host-count agnostic because it only speaks in terms
+of the global mesh — ``global_pixels`` builds process-spanning global arrays
+from per-process local data. Exercised end-to-end by the 2-process CPU test
+(tests/test_multihost.py): the full sharded train step over a mesh that
+spans process boundaries, grad all-reduce riding the distributed runtime.
 """
 
 from __future__ import annotations
@@ -24,6 +28,38 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 RAY_AXIS = "rays"
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None,
+                     local_device_ids: Sequence[int] | None = None) -> bool:
+    """Join a multi-host run: ``jax.distributed.initialize`` guarded so
+    single-host use (or an already-initialized runtime) is a no-op.
+
+    On TPU pods the arguments are auto-detected from the environment; on
+    CPU/GPU clusters pass them explicitly. Must run before anything
+    initializes the XLA backend (jax.devices() counts). Returns True when a
+    multi-process runtime is (already) active.
+    """
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return jax.process_count() > 1  # already initialized
+    if coordinator_address is None and num_processes is None:
+        # Single host, or TPU-pod/cluster auto-detection context.
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            return False  # no cluster environment: stay single-process
+        return jax.process_count() > 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
+    return jax.process_count() > 1
 
 
 def make_mesh(devices: Sequence[jax.Device] | None = None,
@@ -42,14 +78,52 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_pixels(mesh: Mesh, *arrays: jax.Array) -> tuple[jax.Array, ...]:
-    """Place pixel arrays [ni, nj, ...] with ni sharded over the mesh.
+def pad_rows(mesh: Mesh, n: int) -> int:
+    """Rows of padding needed to make ``n`` divisible by the mesh size."""
+    m = mesh.devices.size
+    return (-n) % m
 
-    ni must be divisible by the mesh size (pad the canvas if not — render
-    sizes here are multiples of typical mesh sizes).
+
+def shard_pixels(mesh: Mesh, *arrays: jax.Array) -> tuple[jax.Array, ...]:
+    """Place pixel arrays [ni, ...] with ni sharded over the mesh.
+
+    Arbitrary ni: arrays whose leading axis is not divisible by the mesh
+    size are padded by replicating the last row (NOT zeros — a zero ray
+    state sits on the metric's coordinate singularity). Padded rays trace
+    like real ones; crop the outputs with ``crop_rows``.
     """
     sh = ray_sharding(mesh)
-    return tuple(jax.device_put(a, sh) for a in arrays)
+    out = []
+    for a in arrays:
+        p = pad_rows(mesh, a.shape[0])
+        if p:
+            a = jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (p,) + a.shape[1:])], axis=0)
+        out.append(jax.device_put(a, sh))
+    return tuple(out)
+
+
+def crop_rows(n: int, *arrays: jax.Array) -> tuple[jax.Array, ...]:
+    """Undo ``shard_pixels`` padding: keep the first ``n`` rows."""
+    return tuple(a[:n] for a in arrays)
+
+
+def global_pixels(mesh: Mesh, *arrays) -> tuple[jax.Array, ...]:
+    """Multi-host variant of ``shard_pixels``: every process passes the SAME
+    logical (numpy) array; each places only its addressable shards, and the
+    result is a global process-spanning jax.Array. Works single-host too.
+    """
+    sh = ray_sharding(mesh)
+    out = []
+    for a in arrays:
+        a = np.asarray(a)
+        p = pad_rows(mesh, a.shape[0])
+        if p:
+            a = np.concatenate([a, np.broadcast_to(a[-1:],
+                                                   (p,) + a.shape[1:])], 0)
+        out.append(jax.make_array_from_callback(a.shape, sh,
+                                                lambda idx, _a=a: _a[idx]))
+    return tuple(out)
 
 
 def sharded_render(render, mesh: Mesh):
