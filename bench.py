@@ -52,7 +52,28 @@ def bench(ni=200, nj=200, dtype=jnp.float32, repeats=3, backend="xla_cm"):
         times.append(time.perf_counter() - t0)
     best = min(times)
     n_rays = ni * nj
-    return n_rays / best, best, rgb
+
+    # MFU accounting (benchmarks/mfu.py): XLA-counted FLOPs for one Tsit5
+    # iteration x measured accepted steps / wall time, against the chip's
+    # bf16 peak (standard MFU) and the derived VPU f32 roofline (the one
+    # that binds this zero-matmul workload).
+    mfu = {}
+    try:
+        import os
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from benchmarks.mfu import mfu_report
+        from raytracegr_jl_tpu.ops.pallas_geodesic import scene_event_cm
+        from raytracegr_jl_tpu.render import trace_batch, _metric_cm_of
+
+        trace = jax.jit(lambda pos, normal: trace_batch(
+            metric, scene, jnp.concatenate([pos, normal], -1).reshape(-1, 8),
+            cfg))
+        res = jax.block_until_ready(trace(canvas.pos, canvas.normal))
+        mfu = mfu_report(_metric_cm_of(metric), scene_event_cm(scene), res,
+                         best, jnp.float32)
+    except Exception as e:  # MFU is diagnostic — never fail the bench
+        print(f"mfu accounting unavailable: {e!r}"[:200], file=sys.stderr)
+    return n_rays / best, best, rgb, mfu
 
 
 def main():
@@ -61,10 +82,10 @@ def main():
         ni = nj = int(sys.argv[1])
     backends = [sys.argv[2]] if len(sys.argv) > 2 else ["pallas", "xla_cm",
                                                         "xla"]
-    rays_per_s = None
+    rays_per_s, mfu = None, {}
     for be in backends:
         try:
-            rays_per_s, secs, _ = bench(ni, nj, backend=be)
+            rays_per_s, secs, _, mfu = bench(ni, nj, backend=be)
             break
         except Exception as e:
             print(f"backend {be} failed: {e!r}"[:200], file=sys.stderr)
@@ -75,6 +96,7 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / JULIA_REF_RAYS_PER_S, 3),
+        **mfu,
     }))
 
 

@@ -50,7 +50,8 @@ def main():
 
     truth = InverseParams(M=jnp.asarray(1.0, dtype), a=jnp.asarray(0.0, dtype),
                           sphere_pos=jnp.asarray([0.0, 4.0, 0.0, 0.0], dtype))
-    render = make_render_for_params(spec, cfg, sphere_index=2, dtype=dtype)
+    render = jax.jit(make_render_for_params(spec, cfg, sphere_index=2,
+                                            dtype=dtype))
     target = jax.block_until_ready(render(truth))
     loss_fn = make_loss_fn(spec, target, cfg, sphere_index=2, dtype=dtype)
     step = jax.jit(jax.value_and_grad(loss_fn))

@@ -71,6 +71,7 @@ def run(example: int, n: int) -> float:
         # the reference golden itself MISSES 53 analytically-true hits.
         bad = np.argwhere(diff.max(-1) > 2 / 255)
         n_graze, ours_hit, gold_hit = 0, 0, 0
+        ours_right, gold_right = 0, 0
         for r, c in bad:
             i, j = int(c), int(r)  # canvas (i, j) from image (row=j, col=i)
             dx = (i + 0.5) / n - 0.5
@@ -85,9 +86,20 @@ def run(example: int, n: int) -> float:
                 ours_hit += 1
             elif abs(gold[r, c, 2] - 1.0) < 0.01:
                 gold_hit += 1
+            # Score each image against the analytic ground truth: a ray
+            # with rho_min < radius TRULY crosses the sphere. (Pixels where
+            # the two images disagree have exactly one of them hitting.)
+            true_hit = rho_min < 0.5
+            if (abs(img[r, c, 2] - 1.0) < 0.01) == true_hit:
+                ours_right += 1
+            if (abs(gold[r, c, 2] - 1.0) < 0.01) == true_hit:
+                gold_right += 1
         print(f"diff classification: {len(bad)} pixels, {n_graze} at the "
               f"sphere silhouette (|rho_min-0.5|<0.02); detection split: "
               f"ours-hit={ours_hit} gold-hit={gold_hit}")
+        print(f"analytic-oracle score on differing pixels: "
+              f"ours correct {ours_right}/{len(bad)}, "
+              f"reference golden correct {gold_right}/{len(bad)}")
         if n_graze == len(bad):
             print("all diffs are grazing-detection artifacts "
                   "(analytically verified)")

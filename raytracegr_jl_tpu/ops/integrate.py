@@ -132,7 +132,8 @@ class TraceResult(NamedTuple):
 def tsit5_step(f: RHS, y: jax.Array, dt: jax.Array, k1: jax.Array):
     """One Tsit5 stage sweep. ``dt`` is per-ray ``[B]``; ``k1 = f(y)`` (FSAL).
 
-    Returns (y5, err, k7) where k7 = f(y5) seeds the next step's k1.
+    Returns (y5, err, k7, ks) where k7 = f(y5) seeds the next step's k1
+    and ks = (k1..k7) feeds the 4th-order dense output (tsit5_interp).
     """
     d = dt[..., None]
     k2 = f(y + d * (TS_A[0][0] * k1))
@@ -148,17 +149,18 @@ def tsit5_step(f: RHS, y: jax.Array, dt: jax.Array, k1: jax.Array):
     err = d * (TS_BTILDE[0] * k1 + TS_BTILDE[1] * k2 + TS_BTILDE[2] * k3
                + TS_BTILDE[3] * k4 + TS_BTILDE[4] * k5 + TS_BTILDE[5] * k6
                + TS_BTILDE[6] * k7)
-    return y5, err, k7
+    return y5, err, k7, (k1, k2, k3, k4, k5, k6, k7)
 
 
 def rk4_step(f: RHS, y: jax.Array, dt: jax.Array, k1: jax.Array):
-    """Classic RK4; returns (y1, zero-err, f(y1)) to share the driver."""
+    """Classic RK4; returns (y1, zero-err, f(y1), None) to share the driver
+    (no free dense output — event localization uses cubic Hermite)."""
     d = dt[..., None]
     k2 = f(y + 0.5 * d * k1)
     k3 = f(y + 0.5 * d * k2)
     k4 = f(y + d * k3)
     y1 = y + (d / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
-    return y1, jnp.zeros_like(y1), f(y1)
+    return y1, jnp.zeros_like(y1), f(y1), None
 
 
 # Large-but-finite stand-in for "infinite error": guarantees rejection
@@ -182,15 +184,60 @@ def error_norm(err, y0, y1, rtol, atol):
 def hermite_interp(y0, y1, f0, f1, dt, theta):
     """Cubic Hermite dense output on a step: state at ``y(lam0 + theta*dt)``.
 
-    Stands in for Tsit5's dense output when root-finding the event crossing
-    (the reference relies on the solver interpolant via ContinuousCallback).
-    theta: [...] broadcastable against y's batch dims.
+    Used for the fixed-step RK4 path (straight-line flat-space rays, where
+    it is exact); the Tsit5 path uses the genuine 4th-order interpolant
+    below. theta: [...] broadcastable against y's batch dims.
     """
     th = theta[..., None]
     d = dt[..., None]
     return ((1 - th) * y0 + th * y1
             + th * (th - 1) * ((1 - 2 * th) * (y1 - y0)
                                + (th - 1) * d * f0 + th * d * f1))
+
+
+def tsit5_bi(th):
+    """Tsit5's free 4th-order dense-output weights ``b_i(theta)``.
+
+    Published interpolant of the Tsitouras 5(4) pair (Tsitouras 2011,
+    "Runge-Kutta pairs of order 5(4) satisfying only the first column
+    simplifying assumption") — the same dense output OrdinaryDiffEq's
+    Tsit5 supplies to ContinuousCallback root-finding in the reference
+    (/root/reference/src/RayTraceGR.jl:488-490, 510). Identities (checked
+    in tests/test_integrate.py): b_i(0)=0, b_1'(0)=1 (consistency), and
+    b_i(1) equals the 5th-order solution weights, so theta=1 reproduces
+    y5 exactly.
+    """
+    th2 = th * th
+    b1 = (-1.0530884977290216 * th * (th - 1.3299890189751412)
+          * (th2 - 1.4364028541716351 * th + 0.7139816917074209))
+    b2 = 0.1017 * th2 * (th2 - 2.1966568338249754 * th + 1.2949852507374631)
+    b3 = (2.490627285651252793 * th2
+          * (th2 - 2.38535645472061657 * th + 1.57803468208092486))
+    b4 = (-16.54810288924490272 * (th - 1.21712927295533244)
+          * (th - 0.61620406037800089) * th2)
+    b5 = (47.37952196281928122 * (th - 1.203071208372362603)
+          * (th - 0.658047292653547382) * th2)
+    b6 = (-34.87065786149660974 * (th - 1.2)
+          * (th - 0.666666666666666667) * th2)
+    b7 = 2.5 * (th - 1.0) * (th - 0.6) * th2
+    return b1, b2, b3, b4, b5, b6, b7
+
+
+def tsit5_interp(y0, ks, dt, theta):
+    """Tsit5 4th-order dense output: ``y(theta) = y0 + dt*sum_i b_i(th) k_i``.
+
+    Row-major layout: y0/ks [B, 8], dt/theta [B]. One order higher than
+    cubic Hermite on the same step — event localization (and therefore hit
+    positions / checker-boundary colors) matches the reference's
+    ContinuousCallback interpolant to the same order.
+    """
+    th = theta[..., None]
+    d = dt[..., None]
+    bs = tsit5_bi(th)
+    acc = bs[0] * ks[0]
+    for b, k in zip(bs[1:], ks[1:]):
+        acc = acc + b * k
+    return y0 + d * acc
 
 
 def hairer_init_dt(f: RHS, y0: jax.Array, rtol, atol, order: int = 5,
@@ -217,12 +264,17 @@ def hairer_init_dt(f: RHS, y0: jax.Array, rtol, atol, order: int = 5,
 # Event localization
 # ---------------------------------------------------------------------------
 
-def _locate_event(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
+def _locate_event(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig,
+                  ks=None):
     """Find the first zero crossing of the event function within a step.
 
-    Samples the Hermite interpolant at ``interp_points`` interior points to
-    bracket the FIRST sign change (mirrors ContinuousCallback's interp_points
-    scan), then bisects. Returns (crossed [B], theta* [B], y* [B,8]).
+    Samples the step's dense output at ``interp_points`` interior points to
+    bracket the FIRST sign change (mirrors ContinuousCallback's
+    interp_points scan), then bisects. With ``ks`` (the Tsit5 stage values)
+    the genuine 4th-order Tsit5 interpolant is used — the same dense output
+    the reference's ContinuousCallback root-finds on
+    (RayTraceGR.jl:488-490); without it (RK4) cubic Hermite.
+    Returns (crossed [B], theta* [B], y* [B,8]).
     """
     B = y0.shape[0]
     npts = cfg.interp_points
@@ -236,10 +288,17 @@ def _locate_event(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     # AD-visible.
     sg = lax.stop_gradient
     y0s, y1s, f0s, f1s, dts = sg(y0), sg(y1), sg(f0), sg(f1), sg(dt)
+    if ks is not None:
+        kss = tuple(sg(k) for k in ks)
+        interp_s = lambda th: tsit5_interp(y0s, kss, dts, th)
+        interp_g = lambda th: tsit5_interp(y0, ks, dt, th)
+    else:
+        interp_s = lambda th: hermite_interp(y0s, y1s, f0s, f1s, dts, th)
+        interp_g = lambda th: hermite_interp(y0, y1, f0, f1, dt, th)
     d_prev = event_fn(y0s)  # [B] (>0 before a crossing)
 
     def sample(theta):
-        return event_fn(hermite_interp(y0s, y1s, f0s, f1s, dts, theta))
+        return event_fn(interp_s(theta))
 
     d_samples = jax.vmap(sample)(jnp.broadcast_to(thetas[:, None], (npts, B)))
     # d_samples: [npts, B]. Find first index where sign flips to <= 0.
@@ -306,7 +365,7 @@ def _locate_event(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     th0 = hi  # already gradient-stopped (search ran on sg() copies)
 
     def resid(theta):
-        return event_fn(hermite_interp(y0, y1, f0, f1, dt, theta))
+        return event_fn(interp_g(theta))
 
     val, dval = jax.jvp(resid, (th0,), (jnp.ones_like(th0),))
     # RELATIVE slope threshold: the vjp of val/dval materializes val/dval^2,
@@ -320,7 +379,7 @@ def _locate_event(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     ok = jnp.abs(dval) > 1e-3 * (1.0 + jnp.abs(val))
     delta = jnp.where(ok, val, 0.0) / jnp.where(ok, dval, 1.0)
     th_star = jnp.clip(th0 - jnp.clip(delta, -1.0, 1.0), 0.0, 1.0)
-    y_star = hermite_interp(y0, y1, f0, f1, dt, th_star)
+    y_star = interp_g(th_star)
     return crossed, th_star, y_star
 
 
@@ -360,7 +419,7 @@ def _make_step_body(rhs: RHS, event_fn: EventFn, cfg: IntegratorConfig):
         # survive every comparison below and stall the loop at max_steps.
         dt_try = jnp.where(jnp.isfinite(dt_try), dt_try, cfg.dt_min)
 
-        y_new, err, k_last = stepper(rhs, st.y, dt_try, st.k1)
+        y_new, err, k_last, ks = stepper(rhs, st.y, dt_try, st.k1)
 
         if adaptive:
             en = error_norm(err, st.y, y_new, cfg.rtol, cfg.atol)
@@ -404,8 +463,12 @@ def _make_step_body(rhs: RHS, event_fn: EventFn, cfg: IntegratorConfig):
         fin = jnp.all(jnp.isfinite(y_new), axis=-1, keepdims=True)
         y_evt = jnp.where(fin, y_new, st.y)
         k_evt = jnp.where(fin, k_last, st.k1)
+        # Zeroing a dying ray's stage values degrades its interpolant to the
+        # constant y0 — finite, degenerate, result discarded anyway.
+        ks_evt = (None if ks is None
+                  else tuple(jnp.where(fin, k, 0.0) for k in ks))
         crossed, th_star, y_star = _locate_event(
-            event_fn, st.y, y_evt, st.k1, k_evt, dt_try, cfg)
+            event_fn, st.y, y_evt, st.k1, k_evt, dt_try, cfg, ks=ks_evt)
         hit_now = do & crossed
 
         y_acc = jnp.where(hit_now[..., None], y_star, y_new)

@@ -325,7 +325,7 @@ def _tsit5_step_cm(f, y, dt, k1):
     err = dt * (TS_BTILDE[0] * k1 + TS_BTILDE[1] * k2 + TS_BTILDE[2] * k3
                 + TS_BTILDE[3] * k4 + TS_BTILDE[4] * k5 + TS_BTILDE[5] * k6
                 + TS_BTILDE[6] * k7)
-    return y5, err, k7
+    return y5, err, k7, (k1, k2, k3, k4, k5, k6, k7)
 
 
 def _hermite_cm(y0, y1, f0, f1, dt, th):
@@ -334,13 +334,37 @@ def _hermite_cm(y0, y1, f0, f1, dt, th):
                                + (th - 1) * dt * f0 + th * dt * f1))
 
 
-def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
-    """First-crossing localization; shapes (8,S,128)/(S,128)."""
+def _tsit5_interp_cm(y0, ks, dt, th):
+    """Tsit5 4th-order dense output, component-major: y0/ks (8,S,128),
+    dt/th (S,128). See integrate.tsit5_bi for provenance + identities."""
+    from .integrate import tsit5_bi
+
+    bs = tsit5_bi(th)
+    acc = bs[0] * ks[0]
+    for b, k in zip(bs[1:], ks[1:]):
+        acc = acc + b * k
+    return y0 + dt * acc
+
+
+def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig,
+                     ks=None):
+    """First-crossing localization; shapes (8,S,128)/(S,128).
+
+    With ``ks`` (Tsit5 stage values) the search/polish run on the genuine
+    4th-order Tsit5 dense output (integrate.tsit5_bi); cubic Hermite
+    otherwise (RK4)."""
     dtype = y0.dtype
     # Gradient-opaque search phase (same rationale as the row-major
     # _locate_event): bracketing + bisection is pure root finding.
     sg = lax.stop_gradient
     y0s, y1s, f0s, f1s, dts = sg(y0), sg(y1), sg(f0), sg(f1), sg(dt)
+    if ks is not None:
+        kss = tuple(sg(k) for k in ks)
+        interp_s = lambda th: _tsit5_interp_cm(y0s, kss, dts, th)
+        interp_g = lambda th: _tsit5_interp_cm(y0, ks, dt, th)
+    else:
+        interp_s = lambda th: _hermite_cm(y0s, y1s, f0s, f1s, dts, th)
+        interp_g = lambda th: _hermite_cm(y0, y1, f0, f1, dt, th)
     d_prev = event_fn(y0s)
     npts = cfg.interp_points
     th_lo = jnp.zeros_like(d_prev)
@@ -350,7 +374,7 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     d_list = [d_prev]  # d at theta = i/npts, i = 0..npts
     for i in range(1, npts + 1):
         th = jnp.full_like(d_prev, i / npts)
-        d = event_fn(_hermite_cm(y0s, y1s, f0s, f1s, dts, th))
+        d = event_fn(interp_s(th))
         new = (d <= 0.0) & ~found
         th_lo = jnp.where(new, prev_th, th_lo)
         th_hi = jnp.where(new, th, th_hi)
@@ -375,14 +399,14 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
             a, b = ab
             m1 = a + (b - a) / 3.0
             m2 = b - (b - a) / 3.0
-            f1_ = event_fn(_hermite_cm(y0s, y1s, f0s, f1s, dts, m1))
-            f2_ = event_fn(_hermite_cm(y0s, y1s, f0s, f1s, dts, m2))
+            f1_ = event_fn(interp_s(m1))
+            f2_ = event_fn(interp_s(m2))
             take = f1_ < f2_
             return jnp.where(take, a, m1), jnp.where(take, m2, b)
 
         aN, bN = lax.fori_loop(0, cfg.min_refine_iters, tri_body, (a0, b0))
         th_min = 0.5 * (aN + bN)
-        d_min = event_fn(_hermite_cm(y0s, y1s, f0s, f1s, dts, th_min))
+        d_min = event_fn(interp_s(th_min))
         min_neg = d_min <= 0.0
         use_min = min_neg & (~found | (a0 < th_lo))
         th_lo = jnp.where(use_min, a0, th_lo)
@@ -394,7 +418,7 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     def bisect_body(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        d_mid = event_fn(_hermite_cm(y0s, y1s, f0s, f1s, dts, mid))
+        d_mid = event_fn(interp_s(mid))
         gt = d_mid > 0.0
         return jnp.where(gt, mid, lo), jnp.where(gt, hi, mid)
 
@@ -408,13 +432,13 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig):
     th0 = hi  # already gradient-stopped
 
     def resid(theta):
-        return event_fn(_hermite_cm(y0, y1, f0, f1, dt, theta))
+        return event_fn(interp_g(theta))
 
     val, dval = jax.jvp(resid, (th0,), (jnp.ones_like(th0),))
     ok = jnp.abs(dval) > 1e-3 * (1.0 + jnp.abs(val))
     delta = jnp.where(ok, val, 0.0) / jnp.where(ok, dval, 1.0)
     th_star = jnp.clip(th0 - jnp.clip(delta, -1.0, 1.0), 0.0, 1.0)
-    y_star = _hermite_cm(y0, y1, f0, f1, dt, th_star)
+    y_star = interp_g(th_star)
     return crossed, th_star, y_star
 
 
@@ -447,7 +471,7 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
                            jnp.asarray(cfg.dt_min, dtype))
 
         if adaptive:
-            y_new, err, k_last = _tsit5_step_cm(rhs, y, dt_try, k1)
+            y_new, err, k_last, ks = _tsit5_step_cm(rhs, y, dt_try, k1)
             sc = cfg.atol + cfg.rtol * jnp.maximum(jnp.abs(y),
                                                    jnp.abs(y_new))
             # Ratio clamp + finite "huge error" marker: see
@@ -466,7 +490,7 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
             dt_next = jnp.clip(dt_try * q, cfg.dt_min, cfg.lam_max)
             dead = (bad | ~accept) & (dt_try <= 2 * cfg.dt_min)
         else:
-            y_new, err, k_last = _rk4_step_cm(rhs, y, dt_try, k1)
+            y_new, err, k_last, ks = _rk4_step_cm(rhs, y, dt_try, k1)
             en = jnp.ones_like(dt_try)
             bad = ~jnp.all(jnp.isfinite(y_new), axis=0)
             accept = ~bad
@@ -481,8 +505,12 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
         fin = jnp.all(jnp.isfinite(y_new), axis=0)
         y_evt = jnp.where(fin, y_new, y)
         k_evt = jnp.where(fin, k_last, k1)
+        # Dying rays: zeroed stages degrade the interpolant to constant y0
+        # (finite, result discarded) — same guard as the row-major body.
+        ks_evt = (None if ks is None
+                  else tuple(jnp.where(fin, k, 0.0) for k in ks))
         crossed, th_star, y_star = _locate_event_cm(
-            event_fn, y, y_evt, k1, k_evt, dt_try, cfg)
+            event_fn, y, y_evt, k1, k_evt, dt_try, cfg, ks=ks_evt)
         hit_now = do & crossed
 
         y_acc = jnp.where(hit_now, y_star, y_evt)
@@ -530,7 +558,7 @@ def _rk4_step_cm(f, y, dt, k1):
     k3 = f(y + 0.5 * dt * k2)
     k4 = f(y + dt * k3)
     y1 = y + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
-    return y1, jnp.zeros_like(y1), f(y1)
+    return y1, jnp.zeros_like(y1), f(y1), None
 
 
 def integrate_rays_cm(metric_cm: MetricCM, event_fn, y0: jax.Array,

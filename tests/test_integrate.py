@@ -11,9 +11,11 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from raytracegr_jl_tpu.ops.integrate import (IntegratorConfig, hairer_init_dt,
-                                             hermite_interp, integrate_rays,
+from raytracegr_jl_tpu.ops.integrate import (TS_A, IntegratorConfig,
+                                             hairer_init_dt, hermite_interp,
+                                             integrate_rays,
                                              integrate_rays_scan, rk4_step,
+                                             tsit5_bi, tsit5_interp,
                                              tsit5_step)
 
 
@@ -30,7 +32,7 @@ class TestSteppers:
         errs = []
         for dt in (0.1, 0.05):
             d = jnp.full((1,), dt, jnp.float64)
-            y1, _, _ = rk4_step(f, y0, d, f(y0))
+            y1, _, _, _ = rk4_step(f, y0, d, f(y0))
             errs.append(float(jnp.abs(y1[0, 0] - jnp.exp(dt))))
         assert errs[0] / errs[1] > 25
 
@@ -42,7 +44,7 @@ class TestSteppers:
         errs = []
         for dt in (0.1, 0.05):
             d = jnp.full((1,), dt, jnp.float64)
-            y1, _, _ = tsit5_step(f, y0, d, f(y0))
+            y1, _, _, _ = tsit5_step(f, y0, d, f(y0))
             errs.append(float(jnp.abs(y1[0, 0] - jnp.exp(dt))))
         assert errs[0] / errs[1] > 40
 
@@ -55,11 +57,64 @@ class TestSteppers:
         ests, trues = [], []
         for dt in (0.1, 0.05):
             d = jnp.full((1,), dt, jnp.float64)
-            y1, err, _ = tsit5_step(f, y0, d, f(y0))
+            y1, err, _, _ = tsit5_step(f, y0, d, f(y0))
             ests.append(float(jnp.abs(err[0, 0])))
             trues.append(float(jnp.abs(y1[0, 0] - jnp.exp(dt))))
         assert 20 < ests[0] / ests[1] < 50      # ~2^5
         assert ests[0] > trues[0] and ests[1] > trues[1]
+
+
+class TestTsit5DenseOutput:
+    """The genuine Tsit5 4th-order interpolant (integrate.tsit5_bi) — the
+    dense output OrdinaryDiffEq's ContinuousCallback root-finds on in the
+    reference (RayTraceGR.jl:488-490, 510)."""
+
+    def test_weight_identities(self):
+        """b_i(0)=0; b_i(1) = the 5th-order solution weights (so theta=1
+        reproduces y5 bit-for-bit); b_1'(0)=1 (consistency)."""
+        b0 = tsit5_bi(jnp.float64(0.0))
+        assert all(abs(float(b)) < 1e-15 for b in b0)
+        b1 = tsit5_bi(jnp.float64(1.0))
+        # 5th-order weights are TS_A's last row (y5 stage combination),
+        # with b7 = 0 (FSAL).
+        expect = list(TS_A[5]) + [0.0]
+        np.testing.assert_allclose([float(b) for b in b1], expect,
+                                   atol=1e-13)
+        eps = 1e-7
+        db1 = (float(tsit5_bi(jnp.float64(eps))[0])
+               - float(b0[0])) / eps
+        assert abs(db1 - 1.0) < 1e-6
+
+    def test_endpoints_match_step(self):
+        f = lambda y: jnp.sin(y) + 0.5
+        y0 = jnp.linspace(0.1, 0.8, 8, dtype=jnp.float64)[None, :]
+        dt = jnp.array([0.3], jnp.float64)
+        y5, _, _, ks = tsit5_step(f, y0, dt, f(y0))
+        at0 = tsit5_interp(y0, ks, dt, jnp.array([0.0], jnp.float64))
+        at1 = tsit5_interp(y0, ks, dt, jnp.array([1.0], jnp.float64))
+        np.testing.assert_allclose(np.asarray(at0), np.asarray(y0),
+                                   atol=1e-15)
+        np.testing.assert_allclose(np.asarray(at1), np.asarray(y5),
+                                   atol=1e-14)
+
+    def test_fourth_order_beats_hermite(self):
+        """On y' = y the interpolant error at mid-step scales ~dt^5 (4th
+        order) vs Hermite's ~dt^4 — and is strictly more accurate."""
+        f = lambda y: y
+        y0 = jnp.ones((1, 8), jnp.float64)
+        errs_t, errs_h = [], []
+        for dtv in (0.4, 0.2):
+            dt = jnp.array([dtv], jnp.float64)
+            th = jnp.array([0.5], jnp.float64)
+            y5, _, k7, ks = tsit5_step(f, y0, dt, f(y0))
+            truth = float(jnp.exp(0.5 * dtv))
+            yt = tsit5_interp(y0, ks, dt, th)
+            yh = hermite_interp(y0, y5, f(y0), k7, dt, th)
+            errs_t.append(abs(float(yt[0, 0]) - truth))
+            errs_h.append(abs(float(yh[0, 0]) - truth))
+        assert errs_t[0] < errs_h[0] and errs_t[1] < errs_h[1]
+        assert errs_t[0] / errs_t[1] > 20      # ~2^5 = 32
+        assert errs_h[0] / errs_h[1] < 25      # ~2^4 = 16
 
 
 class TestHermite:
