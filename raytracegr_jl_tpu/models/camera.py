@@ -56,8 +56,7 @@ def pixel_rays(
     return pos, u
 
 
-def make_canvas(
-    metric: MetricFn,
+def pixel_grid(
     pos,
     widthx,
     widthy,
@@ -65,9 +64,17 @@ def make_canvas(
     ni: int,
     nj: int,
     dtype=None,
-) -> Canvas:
-    """Build the ni x nj canvas of ray initial conditions
-    (reference: RayTraceGR.jl:457-478, vectorized)."""
+) -> tuple[jax.Array, jax.Array]:
+    """The parameter-INDEPENDENT half of the camera: pixel positions and
+    tilted (pre-normalization) normals, both [ni, nj, 4].
+
+    Splitting this from ``pixel_rays`` (the metric-dependent null-velocity
+    construction, RayTraceGR.jl:469-474) lets the pixel batch enter a jitted
+    program as sharded DATA arguments — the precondition for GSPMD actually
+    partitioning a sharded render/inversion step (see parallel/sharding.py) —
+    while (M, a) gradients still flow through the normalization applied
+    inside the traced function.
+    """
     pos = jnp.asarray(pos, dtype)
     dtype = pos.dtype
     widthx = jnp.asarray(widthx, dtype)
@@ -81,5 +88,21 @@ def make_canvas(
     offset = dx[:, None, None] * widthx + dy[None, :, None] * widthy  # [ni,nj,4]
     x = pos + offset
     n = normal + offset  # curved screen: offsets tilt the normal too
+    return x, n
+
+
+def make_canvas(
+    metric: MetricFn,
+    pos,
+    widthx,
+    widthy,
+    normal,
+    ni: int,
+    nj: int,
+    dtype=None,
+) -> Canvas:
+    """Build the ni x nj canvas of ray initial conditions
+    (reference: RayTraceGR.jl:457-478, vectorized)."""
+    x, n = pixel_grid(pos, widthx, widthy, normal, ni, nj, dtype)
     x, u = pixel_rays(metric, x, n)
-    return Canvas(pos=x, normal=u, rgb=jnp.zeros((ni, nj, 3), dtype))
+    return Canvas(pos=x, normal=u, rgb=jnp.zeros((ni, nj, 3), x.dtype))
