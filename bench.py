@@ -26,7 +26,8 @@ import jax.numpy as jnp
 JULIA_REF_RAYS_PER_S = 20_000.0
 
 
-def bench(ni=200, nj=200, dtype=jnp.float32, repeats=3, backend="xla_cm"):
+def bench(ni=200, nj=200, dtype=jnp.float32, repeats=3, backend="xla_cm",
+          with_mfu=True):
     from raytracegr_jl_tpu.utils.setup import enable_compilation_cache
     enable_compilation_cache()
     from raytracegr_jl_tpu import IntegratorConfig, RenderConfig, render_fn
@@ -58,6 +59,8 @@ def bench(ni=200, nj=200, dtype=jnp.float32, repeats=3, backend="xla_cm"):
     # bf16 peak (standard MFU) and the derived VPU f32 roofline (the one
     # that binds this zero-matmul workload).
     mfu = {}
+    if not with_mfu:
+        return n_rays / best, best, rgb, mfu
     try:
         import os
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -77,27 +80,77 @@ def bench(ni=200, nj=200, dtype=jnp.float32, repeats=3, backend="xla_cm"):
 
 
 def main():
-    ni = nj = 200
-    if len(sys.argv) > 1:
-        ni = nj = int(sys.argv[1])
-    backends = [sys.argv[2]] if len(sys.argv) > 2 else ["pallas", "xla_cm",
-                                                        "xla"]
-    rays_per_s, mfu = None, {}
+    args = [a for a in sys.argv[1:] if a != "--no-mfu"]
+    with_mfu = "--no-mfu" not in sys.argv
+    ni = nj = int(args[0]) if args else 200
+    backends = [args[1]] if len(args) > 1 else ["pallas", "xla_cm", "xla"]
+    rays_per_s, mfu, used = None, {}, None
     for be in backends:
         try:
-            rays_per_s, secs, _, mfu = bench(ni, nj, backend=be)
+            rays_per_s, secs, _, mfu = bench(ni, nj, backend=be,
+                                             with_mfu=with_mfu)
+            used = be
             break
         except Exception as e:
             print(f"backend {be} failed: {e!r}"[:200], file=sys.stderr)
     if rays_per_s is None:
         raise SystemExit("all backends failed")
-    print(json.dumps({
+    out = {
         "metric": "kerr_schild_render_rays_per_s",
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / JULIA_REF_RAYS_PER_S, 3),
+        "backend": used,  # which backend actually produced the number
+        "resolution": f"{ni}x{nj}",
+        "device": getattr(jax.devices()[0], "device_kind", "unknown"),
         **mfu,
-    }))
+    }
+    fb = fwd_bwd_rays_per_s()
+    if fb is not None:
+        out["fwd_bwd_rays_per_s"] = round(fb, 1)
+    print(json.dumps(out))
+
+
+def fwd_bwd_rays_per_s(n: int = 200, steps: int = 200):
+    """Rays/s for one fwd+bwd training step (pixel MSE -> (M, a, pose)
+    grads) at flagship resolution — the north-star 'forward+backward at
+    speed of light' number (VERDICT r2 missing #2). Never fails the bench."""
+    try:
+        import time as _time
+
+        from raytracegr_jl_tpu.grad import (InverseParams,
+                                            default_inverse_cfg,
+                                            flat_pixel_grid,
+                                            make_ray_loss_fn,
+                                            make_ray_render_for_params)
+        from raytracegr_jl_tpu.models.scenes import example2_spec
+
+        dtype = jnp.float32
+        spec = example2_spec(n, n)
+        cfg = default_inverse_cfg(dtype, max_steps=steps,
+                                  rk4_dt=100.0 / steps,
+                                  stop_rho=0.5)._replace(backend="xla_cm")
+        truth = InverseParams(M=jnp.asarray(1.0, dtype),
+                              a=jnp.asarray(0.0, dtype),
+                              sphere_pos=jnp.asarray([0., 4., 0., 0.], dtype))
+        xg, ng = flat_pixel_grid(spec, dtype)
+        render = jax.jit(make_ray_render_for_params(spec, cfg, 2, dtype))
+        target = jax.block_until_ready(render(truth, xg, ng))
+        loss = make_ray_loss_fn(spec, cfg, 2, dtype)
+        step = jax.jit(jax.value_and_grad(loss))
+        p = truth._replace(M=jnp.asarray(1.05, dtype))
+        l, g = jax.block_until_ready(step(p, xg, ng, target))
+        if not (jnp.isfinite(l) and jnp.isfinite(g.M)):
+            return None
+        best = float("inf")
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            jax.block_until_ready(step(p, xg, ng, target))
+            best = min(best, _time.perf_counter() - t0)
+        return n * n / best
+    except Exception as e:
+        print(f"fwd_bwd bench unavailable: {e!r}"[:200], file=sys.stderr)
+        return None
 
 
 if __name__ == "__main__":

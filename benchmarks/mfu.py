@@ -2,9 +2,9 @@
 
 The per-iteration physics work is measured honestly, not guessed: one
 component-major Tsit5 step (7 RHS evals: metric forward-derivatives ->
-closed-form symmetric 4x4 inverse -> Christoffel contraction -> geodesic
-acceleration, ops/pallas_geodesic.py:313-328) plus one event-function
-evaluation is lowered and compiled for the target backend, and XLA's own
+Sherman-Morrison metric inverse -> derivative contraction -> geodesic
+acceleration, ops/pallas_geodesic.py) plus one event-function evaluation is
+lowered and compiled for the target backend, and XLA's own
 ``cost_analysis()`` FLOP count is read off the executable. The same math
 runs in all three backends (xla / xla_cm / pallas), so this is the
 backend-independent work model; controller overhead (error norm, PI
@@ -18,9 +18,14 @@ every FLOP is elementwise VPU work:
   (the standard MFU definition). For a VPU-bound kernel this is necessarily
   small; reporting it keeps the claim comparable to ML workloads.
 - ``vpu_f32_util``: achieved FLOP/s over the derived VPU f32 peak — the
-  roofline that actually binds this kernel. Derivation (scaling-book model):
-  clock = bf16_peak / (n_mxu * 128*128 * 2 FLOP); VPU f32 peak =
-  (8*128) lanes * 4 ALUs * clock.
+  roofline that actually binds this kernel. Derivation (scaling-book
+  model): per-core clock = per-CORE bf16 peak / (n_mxu * mxu_dim^2 * 2);
+  VPU peak = cores_per_chip * (8*128) lanes * 4 ALUs * clock. Round 2
+  mixed per-chip peaks with per-core MXU counts and assumed 128x128 MXUs
+  everywhere, skewing v4 (2 cores/chip) and v6e (256x256 MXUs) by ~2x —
+  fixed per ADVICE r2 with the explicit per-generation table below. (A
+  measured-on-chip probe was tried and rejected: the remote-attached
+  runtime's dispatch semantics make sub-ms kernel timings unreliable.)
 
 Replaces the reference's wall-clock-only methodology
 (/root/reference/time.sh:3-7 — double ``@time``, no FLOP accounting).
@@ -31,27 +36,33 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-# device_kind -> (bf16 MXU peak FLOP/s, number of MXUs per core).
-# v5e: 197 TFLOP/s bf16 (public spec), 4 MXUs -> clock ~1.5 GHz.
+# device_kind -> (bf16 peak FLOP/s per CHIP, cores/chip, MXUs/core, MXU dim).
+# Public specs; per-core clock = bf16/cores / (n_mxu * dim^2 * 2).
 _PEAKS = {
-    "TPU v5 lite": (1.97e14, 4),
-    "TPU v5e": (1.97e14, 4),
-    "TPU v4": (2.75e14, 4),
-    "TPU v5p": (4.59e14, 8),
-    "TPU v6 lite": (9.18e14, 8),
+    "TPU v4": (2.75e14, 2, 4, 128),
+    "TPU v5 lite": (1.97e14, 1, 4, 128),
+    "TPU v5e": (1.97e14, 1, 4, 128),
+    "TPU v5p": (4.59e14, 2, 4, 128),
+    "TPU v6 lite": (9.18e14, 1, 4, 256),
+    "TPU v6e": (9.18e14, 1, 4, 256),
 }
 
-
 def chip_peaks(device=None):
-    """(bf16_peak, vpu_f32_peak) for the device, or (None, None) if unknown."""
+    """(bf16_peak, vpu_f32_peak) for the device, or (None, None) if unknown.
+
+    Per-GENERATION derivation (ADVICE r2 fix): the clock comes from the
+    per-core bf16 peak and that generation's actual MXU count/dimensions,
+    and the VPU peak multiplies back up by cores per chip.
+    """
     device = device or jax.devices()[0]
-    entry = _PEAKS.get(getattr(device, "device_kind", ""))
+    kind = getattr(device, "device_kind", "")
+    entry = _PEAKS.get(kind)
     if entry is None:
         return None, None
-    bf16_peak, n_mxu = entry
-    clock = bf16_peak / (n_mxu * 128 * 128 * 2)
-    vpu_f32 = 8 * 128 * 4 * clock
-    return bf16_peak, vpu_f32
+    bf16_peak, cores, n_mxu, dim = entry
+    clock = bf16_peak / cores / (n_mxu * dim * dim * 2)
+    vpu = cores * 8 * 128 * 4 * clock  # (8,128) lanes x 4 ALUs per core
+    return bf16_peak, vpu
 
 
 def step_flops_per_ray(metric_cm, event_fn, dtype, n_rows: int = 16):
@@ -107,4 +118,5 @@ def mfu_report(metric_cm, event_fn, trace_result, wall_s: float, dtype):
     if bf16_peak:
         out["mfu_bf16_peak"] = round(achieved / bf16_peak, 5)
         out["vpu_f32_util"] = round(achieved / vpu_peak, 4)
+        out["vpu_f32_peak_tflops"] = round(vpu_peak / 1e12, 2)
     return out

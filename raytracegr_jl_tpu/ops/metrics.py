@@ -131,6 +131,7 @@ def make_metric(
     params: KerrSchildParams | None = None,
     *,
     r_formula: str = R_AS_WRITTEN,
+    rho_min: float = 1e-3,
 ) -> Callable[[jax.Array], jax.Array]:
     """Build a closed metric function ``x -> g_ab`` from a config name.
 
@@ -138,6 +139,15 @@ def make_metric(
     over the (possibly traced) physics parameters, which keeps downstream code
     (geometry, integrators, kernels) metric-agnostic like the reference's
     generic ``Metric`` type parameter (RayTraceGR.jl:302,321,358).
+
+    ``rho_min``: singularity clamp (see ``kerr_schild``). Gradient configs
+    with a capture-stop radius should raise it to ``stop_rho / 2``: every
+    evaluation below that radius belongs to a ray that is already being
+    killed (integrate.IntegratorConfig.stop_rho), the clamped region is
+    causally irrelevant (inside the horizon), and the tighter clamp bounds
+    the metric's position-partials at ~(2/stop_rho)^4 instead of 1e12 —
+    which is what keeps 40k-ray f32 (M, a) cotangent sums finite
+    (grad.make_ray_render_for_params does this automatically).
     """
     if name == "minkowski":
         def fn(x):
@@ -150,9 +160,9 @@ def make_metric(
         p = params if params is not None else KerrSchildParams()
 
         def fn(x):
-            return kerr_schild(x, p, r_formula=r_formula)
+            return kerr_schild(x, p, r_formula=r_formula, rho_min=rho_min)
         from .pallas_geodesic import kerr_schild_cm
-        fn.component_major = kerr_schild_cm(p, r_formula)
+        fn.component_major = kerr_schild_cm(p, r_formula, rho_min=rho_min)
         fn.params = p
         return fn
     raise ValueError(f"unknown metric: {name!r}")

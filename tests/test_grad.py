@@ -167,3 +167,36 @@ def test_soft_gradients_point_toward_truth():
         assert float(g) > 0, f"gradient at z={z} should restore toward 0"
         _, g = lg(jnp.asarray(-z))
         assert float(g) < 0, f"gradient at z={-z} should restore toward 0"
+
+
+def test_grad_rho_min_bounds_metric_partials():
+    """f32 large-batch (M, a) gradient fix (round 3): with a capture-stop
+    radius, the gradient path clamps the metric at rho = stop_rho/2, which
+    bounds position-partials evaluated by dying rays near the singularity.
+    At the default 1e-3 clamp those partials reach ~1e9+ and their f32
+    cotangent products overflow to NaN over a 40k-ray sum (observed at
+    200x200; an f64 run shows the true gM is O(1)). Asserts the mechanism:
+    partials at a point inside the horizon are ~6 orders smaller under the
+    raised clamp, and _grad_rho_min picks stop_rho/2."""
+    from raytracegr_jl_tpu.grad import _grad_rho_min, default_inverse_cfg
+    from raytracegr_jl_tpu.ops.metrics import KerrSchildParams, make_metric
+
+    cfg = default_inverse_cfg(jnp.float32, stop_rho=0.5)
+    assert _grad_rho_min(cfg) == 0.25
+    cfg0 = default_inverse_cfg(jnp.float32)  # stop_rho=0 -> default clamp
+    assert _grad_rho_min(cfg0) == 1e-3
+
+    x = jnp.asarray([0.0, 0.01, 0.0, 0.005], jnp.float32)  # inside horizon
+    p = KerrSchildParams(M=1.0, a=0.0)
+    for rho_min, bound in [(0.25, 1e4)]:
+        m = make_metric("kerr_schild", p, rho_min=rho_min)
+        jac = jax.jacfwd(m)(x)
+        assert jnp.isfinite(jac).all()
+        assert float(jnp.abs(jac).max()) < bound
+    m_default = make_metric("kerr_schild", p)
+    x_deep = jnp.asarray([0.0, 2e-3, 0.0, 1e-3], jnp.float32)
+    jac_d = jax.jacfwd(m_default)(x_deep)
+    # default clamp: partials explode (the f32 overflow source)
+    assert float(jnp.abs(jac_d).max()) > 1e6
+    jac_c = jax.jacfwd(make_metric("kerr_schild", p, rho_min=0.25))(x_deep)
+    assert float(jnp.abs(jac_c).max()) < 1e4

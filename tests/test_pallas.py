@@ -94,13 +94,13 @@ class TestXlaCmBackend:
             RenderConfig(integrator=integ, backend="xla_cm")).rgb)
         np.testing.assert_allclose(rgb_cm, rgb_rm, atol=1e-9)
 
-    @pytest.mark.slow
     def test_differentiable_cm_scan(self):
         """backend='xla_cm' + differentiable routes to the reverse-capable
-        cm scan and yields finite parameter gradients. (slow: reverse-mode
-        compile of the unrolled component-major body takes minutes on CPU;
-        gradient-path parity with the row-major backend was verified to
-        1e-12 — see BASELINE.md.)"""
+        cm scan and yields finite parameter gradients. Was @slow in rounds
+        1-2 (reverse compile took minutes); the analytic metric derivative
+        + Sherman-Morrison inverse + lean event localization cut the
+        reverse graph enough to run in the default suite (~40 s CPU).
+        Gradient-path parity with the row-major backend: see test_grad."""
         from raytracegr_jl_tpu.grad import (InverseParams,
                                             default_inverse_cfg,
                                             make_loss_fn,
