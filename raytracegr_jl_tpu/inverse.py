@@ -33,9 +33,20 @@ class FitResult(NamedTuple):
 
 def fit(spec: SceneSpec, target_rgb: jax.Array, init: InverseParams,
         cfg: RenderConfig | None = None, *, steps: int = 100,
-        learning_rate: float = 3e-2, sphere_index: int = 2,
+        learning_rate=3e-2, sphere_index: int = 2,
+        trainable: InverseParams | None = None,
         dtype=jnp.float32) -> FitResult:
     """Fit ``init`` toward the target image with Adam.
+
+    ``learning_rate`` may be a float or an optax schedule (a cosine decay
+    materially improves the endgame on the weak texture-based M signal).
+    ``trainable`` optionally masks the gradient pytree (0/1 floats, e.g.
+    ``InverseParams(M=1.0, a=0.0, sphere_pos=jnp.array([0,0,0,1.]))`` to
+    fit M and the sphere's z only) — freezing parameters the target cannot
+    constrain (like spin in a non-spinning scene) removes flat directions
+    the optimizer would otherwise wander along. NOTE: do not reach for
+    ``optax.masked`` here — it passes RAW gradients through as updates for
+    masked-out leaves, which is a sign-flipped unscaled step.
 
     Returns the best-loss iterate (not the last — the rough landscape can
     bounce late in training)."""
@@ -47,6 +58,9 @@ def fit(spec: SceneSpec, target_rgb: jax.Array, init: InverseParams,
     @jax.jit
     def step(params, opt_state):
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        if trainable is not None:
+            grads = jax.tree.map(lambda g, m: g * jnp.asarray(m, g.dtype),
+                                 grads, trainable)
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

@@ -162,7 +162,8 @@ def min_distance(scene: Scene, s: jax.Array) -> jax.Array:
     return jnp.min(distances(scene, s[..., :D]), axis=-1)
 
 
-def colors(scene: Scene, x: jax.Array, smooth: bool = False) -> jax.Array:
+def colors(scene: Scene, x: jax.Array, smooth: bool = False,
+           freq: float = 12.0) -> jax.Array:
     """RGB color of EVERY object at point(s) x: ``[..., 4] -> [..., N, 3]``.
 
     Sphere: 12x12 checkered lat/long from spherical angles of the hit point
@@ -172,6 +173,13 @@ def colors(scene: Scene, x: jax.Array, smooth: bool = False) -> jax.Array:
     0<->1 at every cell boundary — fine for display, hostile to gradient
     descent) with the same-period smooth wave ``(1-cos(2 pi t))/2`` for
     inverse rendering.
+
+    ``freq`` scales the sphere checker frequency (reference value 12).
+    Inverse rendering wants it LOW: the attraction basin of a texture-based
+    loss in a parameter p is |dp| < period / (texture slide rate dx_hit/dp);
+    under lensing dx_hit/dM is amplified ~(4/b) x path length, so the
+    12-cell checker aliases outside |dM| ~ 1%-2% while freq=2 widens the
+    basin ~6x (see scenes.lensing_inverse_spec).
     """
     rel = x[..., None, 1:] - scene.pos[..., :, 1:]  # [..., N, 3]
     xx, yy, zz = rel[..., 0], rel[..., 1], rel[..., 2]
@@ -185,8 +193,8 @@ def colors(scene: Scene, x: jax.Array, smooth: bool = False) -> jax.Array:
         wave = lambda t: jnp.mod(t, 1.0)
     sphere_rgb = jnp.stack(
         [
-            wave(12 * theta / jnp.pi),
-            wave(12 * phi / jnp.pi),
+            wave(freq * theta / jnp.pi),
+            wave(freq * phi / jnp.pi),
             jnp.ones_like(r),
         ],
         axis=-1,
@@ -226,7 +234,8 @@ def shade(scene: Scene, x: jax.Array, hit_dmin: float = 0.01) -> jax.Array:
 
 
 def shade_soft(scene: Scene, x: jax.Array, hit_dmin: float = 0.01,
-               temp: float = 0.05, smooth_colors: bool = True) -> jax.Array:
+               temp: float = 0.05, smooth_colors: bool = True,
+               color_freq: float = 12.0) -> jax.Array:
     """Differentiable shading: smooth relaxation of ``shade``.
 
     The reference's shading (argmin object + hard distance threshold,
@@ -245,7 +254,8 @@ def shade_soft(scene: Scene, x: jax.Array, hit_dmin: float = 0.01,
     n = scene.n_objects
     w = jax.nn.softmax(-d / temp, axis=-1)  # [..., N] object weights
     dim = (jnp.arange(n, dtype=d.dtype) + 1) / n
-    col = colors(scene, x, smooth=smooth_colors) * dim[..., :, None]
+    col = colors(scene, x, smooth=smooth_colors,
+                 freq=color_freq) * dim[..., :, None]
     obj_col = jnp.einsum("...n,...nc->...c", w, col)
     softmin_d = -temp * jax.nn.logsumexp(-d / temp, axis=-1)
     p_hit = jax.nn.sigmoid((hit_dmin - softmin_d) / temp)

@@ -39,6 +39,8 @@ class RenderConfig(NamedTuple):
     pallas_interpret: bool = False  # run the Pallas kernel interpreted (CPU)
     soft_temp: float | None = None  # None => reference hard shading;
     # a float => differentiable soft shading (models/objects.shade_soft)
+    soft_freq: float = 12.0  # sphere checker frequency for soft shading
+    # (12 = reference pattern; inverse rendering wants ~2, see objects.colors)
     shading: str = "reference"  # "reference" (RayTraceGR.jl:513-535 exactly)
     # | "redshift" (g-factor beaming, models/shading.py)
     beaming: float = 4.0  # redshift mode: I_obs = g**beaming * I_emit
@@ -146,7 +148,8 @@ def _shade(metric: MetricFn, scene: Scene, y0: jax.Array, y: jax.Array,
         return shade_redshift(metric, scene, y0, y, p.M, p.a, cfg.hit_dmin,
                               cfg.beaming, cfg.exposure)
     if cfg.soft_temp is not None:
-        return shade_soft(scene, y[..., :4], cfg.hit_dmin, cfg.soft_temp)
+        return shade_soft(scene, y[..., :4], cfg.hit_dmin, cfg.soft_temp,
+                          color_freq=cfg.soft_freq)
     return shade(scene, y[..., :4], cfg.hit_dmin)
 
 
