@@ -243,22 +243,69 @@ def geodesic_cm(metric_cm: MetricCM, y: jax.Array) -> jax.Array:
     y = jnp.clip(y, -state_clamp, state_clamp)
     yl = [y[i] for i in range(8)]
     xl, ul = yl[:4], yl[4:]
-    g, dg = dmetric_list_of(metric_cm)(xl)
-    gu_fn = getattr(metric_cm, "gu_list_fn", None)
-    gu = gu_fn(xl) if gu_fn is not None else sym4_inv_list(g)
-    # S[c][d] = sum_b d_c g_db u^b   (dg index symmetry: dg[c][d][b]=d_c g_db)
-    S = [[_addl(*[_mull(dg[c][d][b], ul[b]) for b in range(4)])
-          for d in range(4)] for c in range(4)]
-    A = []
-    for d in range(4):
-        t1 = _addl(*[_mull(ul[c], S[c][d]) for c in range(4)])
-        t2 = _addl(*[_mull(ul[b], S[d][b]) for b in range(4)])
-        A.append(_addl(t1, _mull(-0.5, t2)))
-    udot = [_negl(_addl(*[_mull(gu[a][d], A[d]) for d in range(4)]))
-            for a in range(4)]
     like = yl[0]
-    k = jnp.stack(ul + [_asarr(v, like) for v in udot])
-    return jnp.clip(k, -rhs_clamp, rhs_clamp)
+
+    parts_fn = getattr(metric_cm, "ks_parts", None)
+    if parts_fn is not None:
+        # Closed-form contraction for g = eta + f k k^T. Substituting
+        # dg[c][i][j] = B_i^c k_j + k_i B_j^c  (B_i^c = f_c k_i/2 + f dk_i^c)
+        # into A_d = u^b u^c d_c g_db - (1/2) u^b u^c d_d g_bc collapses the
+        # 4x4x4 tensor algebra to DIRECTIONAL derivatives:
+        #   ku   = k.u                      fdot = u . grad f
+        #   D_b  = u^c d_c k_b   (advective derivative of k along u)
+        #   E_d  = u^b d_d k_b   (gradient of (k.u) at fixed u)
+        #   A_d  = ku*C_d + k_d*s1 - ku*Bu_d,
+        #     C_d = (fdot/2) k_d + f D_d,
+        #     s1  = (fdot/2) ku + f (u.D),
+        #     Bu_d = (f_d/2) ku + f E_d    (0 for d = t),
+        # and u'^a = -eta^{aa} A_a + coef * ku_raised^a * (ku_raised . A)
+        # with g^{-1} = eta - coef ku_r ku_r^T (Sherman-Morrison). ~200
+        # elementwise ops per RHS vs ~860 for the explicit S[c][d] route —
+        # fewer FLOPs AND far fewer live registers in the fused kernel.
+        f, df, k, dk, coef = parts_fn(xl)
+        us = ul[1:]  # spatial velocity components
+        ku = _addl(*[_mull(k[b], ul[b]) for b in range(4)])
+        fdot = _addl(*[_mull(df[c], us[c]) for c in range(3)])
+        # D_b = sum_c u^c dk[c][b] ; E_d = sum_b u^b dk[d][b]  (b,d spatial)
+        Dv = [_addl(*[_mull(us[c], dk[c][b]) for c in range(3)])
+              for b in range(3)]
+        Ev = [_addl(*[_mull(us[b], dk[d][b]) for b in range(3)])
+              for d in range(3)]
+        uD = _addl(*[_mull(us[b], Dv[b]) for b in range(3)])
+        half_fdot = _mull(0.5, fdot)
+        s1 = _addl(_mull(half_fdot, ku), _mull(f, uD))
+        A = []
+        for d in range(4):
+            C_d = _addl(_mull(half_fdot, k[d]),
+                        _mull(f, Dv[d - 1] if d > 0 else 0.0))
+            Bu_d = (0.0 if d == 0 else
+                    _addl(_mull(_mull(0.5, df[d - 1]), ku),
+                          _mull(f, Ev[d - 1])))
+            A.append(_addl(_mull(ku, C_d), _mull(k[d], s1),
+                           _negl(_mull(ku, Bu_d))))
+        # raise the index: ku_r = eta k (Sherman-Morrison direction)
+        ku_r = [_negl(k[0]), k[1], k[2], k[3]]
+        kuA = _addl(*[_mull(ku_r[d], A[d]) for d in range(4)])
+        eta_diag = (-1.0, 1.0, 1.0, 1.0)
+        udot = [_addl(_negl(_mull(eta_diag[a], A[a])),
+                      _mull(_mull(coef, ku_r[a]), kuA))
+                for a in range(4)]
+    else:
+        g, dg = dmetric_list_of(metric_cm)(xl)
+        gu_fn = getattr(metric_cm, "gu_list_fn", None)
+        gu = gu_fn(xl) if gu_fn is not None else sym4_inv_list(g)
+        # S[c][d] = sum_b d_c g_db u^b  (dg symmetry: dg[c][d][b]=d_c g_db)
+        S = [[_addl(*[_mull(dg[c][d][b], ul[b]) for b in range(4)])
+              for d in range(4)] for c in range(4)]
+        A = []
+        for d in range(4):
+            t1 = _addl(*[_mull(ul[c], S[c][d]) for c in range(4)])
+            t2 = _addl(*[_mull(ul[b], S[d][b]) for b in range(4)])
+            A.append(_addl(t1, _mull(-0.5, t2)))
+        udot = [_negl(_addl(*[_mull(gu[a][d], A[d]) for d in range(4)]))
+                for a in range(4)]
+    k_out = jnp.stack(ul + [_asarr(v, like) for v in udot])
+    return jnp.clip(k_out, -rhs_clamp, rhs_clamp)
 
 
 def kerr_schild_cm(params, r_formula: str, rho_min: float = 1e-3):
@@ -421,6 +468,79 @@ def kerr_schild_cm(params, r_formula: str, rho_min: float = 1e-3):
                 gu[i][j] = gu[j][i] = v
         return gu
 
+    def ks_parts(xl):
+        """Kerr-Schild structural parts for the closed-form geodesic
+        contraction (see geodesic_cm): returns
+
+            (f, [d_x f, d_y f, d_z f], k[0..3], dk, coef)
+
+        where ``dk[c][b] = d_c k_b`` for spatial c, b in {1,2,3}
+        (d_t k == 0 and d_c k_0 == 0 identically) and
+        ``coef = f / (1 + f kappa)`` is the Sherman-Morrison factor of
+        g^{-1} (same det clamp as gu_list_fn). One shared primal; all the
+        metric-derivative information the RHS needs, ~60 elementwise ops.
+        """
+        dtype = xl[0].dtype
+        M = jnp.asarray(params.M, dtype)
+        a = jnp.asarray(params.a, dtype)
+        xs, ys, zs = xl[1], xl[2], xl[3]
+        rho2_raw = xs * xs + ys * ys + zs * zs
+        rho2 = jnp.maximum(rho2_raw, eps2)
+        live = rho2_raw >= eps2
+        half = (rho2 - a * a) / 2
+        inner = jnp.sqrt(a * a * zs * zs + half * half)
+        inv_inner = 1.0 / inner
+        if r_formula == R_AS_WRITTEN:
+            s = jnp.sqrt(rho2 - a * a)
+            r = s / 2 + inner
+            dr_du = 0.25 / s + 0.5 * half * inv_inner
+            dr_dw = a * a * zs * inv_inner
+        elif r_formula == R_TEXTBOOK:
+            r = jnp.sqrt(half + inner)
+            inv_2r = 0.5 / r
+            dr_du = (0.5 + 0.5 * half * inv_inner) * inv_2r
+            dr_dw = (a * a * zs * inv_inner) * inv_2r
+        else:
+            raise ValueError(r_formula)
+        r2 = r * r
+        q = r2 * r2 + a * a * zs * zs
+        inv_q = 1.0 / q
+        r3 = r * r2
+        f = 2 * M * r3 * inv_q
+        df_dr = 2 * M * r2 * (3 * a * a * zs * zs - r2 * r2) * inv_q * inv_q
+        df_dw = -4 * M * r3 * a * a * zs * inv_q * inv_q
+        denom = r2 + a * a
+        inv_denom = 1.0 / denom
+        inv_r = 1.0 / r
+        k1 = (r * xs + a * ys) * inv_denom
+        k2 = (r * ys - a * xs) * inv_denom
+        k3 = zs * inv_r
+        k = [jnp.ones_like(r), k1, k2, k3]
+
+        du = [jnp.where(live, 2 * xs, 0.0), jnp.where(live, 2 * ys, 0.0),
+              jnp.where(live, 2 * zs, 0.0)]
+        zero = jnp.zeros_like(r)
+        df = []
+        dk = []
+        for ci, c in enumerate((1, 2, 3)):
+            r_c = dr_du * du[ci] + (dr_dw if c == 3 else 0.0)
+            df.append(df_dr * r_c + (df_dw if c == 3 else 0.0))
+            two_r_rc = 2 * r * r_c
+            dk1 = (xs * r_c + (r if c == 1 else (a if c == 2 else zero))
+                   - k1 * two_r_rc) * inv_denom
+            dk2 = (ys * r_c + (r if c == 2 else (-a if c == 1 else zero))
+                   - k2 * two_r_rc) * inv_denom
+            dk3 = ((jnp.ones_like(r) if c == 3 else zero) - k3 * r_c) * inv_r
+            dk.append([dk1, dk2, dk3])
+
+        kappa = -k[0] * k[0] + k1 * k1 + k2 * k2 + k3 * k3
+        d = 1 + f * kappa
+        det_min = 1e-4 if jnp.dtype(dtype).itemsize <= 4 else 1e-12
+        d = jnp.where(d < 0, jnp.minimum(d, -det_min),
+                      jnp.maximum(d, det_min))
+        coef = f / d
+        return f, df, k, dk, coef
+
     def metric_cm(x):
         g = list_fn([x[i] for i in range(4)])
         return jnp.stack([jnp.stack(row) for row in g])
@@ -428,6 +548,7 @@ def kerr_schild_cm(params, r_formula: str, rho_min: float = 1e-3):
     metric_cm.list_fn = list_fn
     metric_cm.dlist_fn = dlist_fn
     metric_cm.gu_list_fn = gu_list_fn
+    metric_cm.ks_parts = ks_parts
     return metric_cm
 
 
@@ -448,6 +569,13 @@ def minkowski_cm():
         return [[(-1.0 if i == 0 else 1.0) if i == j else 0.0
                  for j in range(4)] for i in range(4)]
 
+    def ks_parts(xl):
+        """Flat space as the f == 0 Kerr-Schild limit, all literals — the
+        closed-form contraction folds to udot = 0 at trace time."""
+        one = jnp.ones_like(xl[0])
+        return (0.0, [0.0, 0.0, 0.0], [one, 0.0, 0.0, 0.0],
+                [[0.0] * 3 for _ in range(3)], 0.0)
+
     def metric_cm(x):
         g = list_fn([x[i] for i in range(4)])
         return jnp.stack([jnp.stack(row) for row in g])
@@ -455,6 +583,7 @@ def minkowski_cm():
     metric_cm.list_fn = list_fn
     metric_cm.dlist_fn = dlist_fn
     metric_cm.gu_list_fn = gu_list_fn
+    metric_cm.ks_parts = ks_parts
     return metric_cm
 
 
