@@ -29,17 +29,26 @@ class FitResult(NamedTuple):
     loss: jax.Array  # final loss of the best run
     loss_history: jax.Array  # [steps] for the best run
     params_history: InverseParams  # [steps]-leading pytree for the best run
+    final_params: InverseParams  # last iterate (resume from here)
+    opt_state: tuple  # optimizer state at the last iterate (resume)
 
 
 def fit(spec: SceneSpec, target_rgb: jax.Array, init: InverseParams,
         cfg: RenderConfig | None = None, *, steps: int = 100,
         learning_rate=3e-2, sphere_index: int = 2,
         trainable: InverseParams | None = None,
+        opt_state=None,
         dtype=jnp.float32) -> FitResult:
     """Fit ``init`` toward the target image with Adam.
 
     ``learning_rate`` may be a float or an optax schedule (a cosine decay
     materially improves the endgame on the weak texture-based M signal).
+    ``opt_state`` resumes a preempted run: checkpoint
+    ``(res.final_params, res.opt_state)`` with utils/checkpoint.save, and
+    after restart continue with ``fit(..., init=restored_params,
+    opt_state=restored_opt_state)`` — the continuation is bit-identical to
+    an uninterrupted run of the combined length (tests/test_checkpoint.py).
+
     ``trainable`` optionally masks the gradient pytree (0/1 floats, e.g.
     ``InverseParams(M=1.0, a=0.0, sphere_pos=jnp.array([0,0,0,1.]))`` to
     fit M and the sphere's z only) — freezing parameters the target cannot
@@ -65,17 +74,20 @@ def fit(spec: SceneSpec, target_rgb: jax.Array, init: InverseParams,
         return optax.apply_updates(params, updates), opt_state, loss
 
     def scan_body(carry, _):
-        params, opt_state = carry
-        new_params, opt_state, loss = step(params, opt_state)
-        return (new_params, opt_state), (params, loss)
+        params, st = carry
+        new_params, st, loss = step(params, st)
+        return (new_params, st), (params, loss)
 
-    (final, _), (traj, losses) = jax.lax.scan(
-        scan_body, (init, opt.init(init)), None, length=steps)
+    if opt_state is None:
+        opt_state = opt.init(init)
+    (final, final_st), (traj, losses) = jax.lax.scan(
+        scan_body, (init, opt_state), None, length=steps)
 
     best = jnp.argmin(losses)
     best_params = jax.tree.map(lambda t: t[best], traj)
     return FitResult(params=best_params, loss=losses[best],
-                     loss_history=losses, params_history=traj)
+                     loss_history=losses, params_history=traj,
+                     final_params=final, opt_state=final_st)
 
 
 def fit_multistart(spec: SceneSpec, target_rgb: jax.Array,
