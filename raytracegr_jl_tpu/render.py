@@ -74,7 +74,17 @@ def trace_batch(metric: MetricFn, scene: Scene, y0: jax.Array,
         if cfg.integrator.method == "rk4":
             dt0 = jnp.full(y0.shape[:1], cfg.integrator.rk4_dt, y0.dtype)
         else:
-            dt0 = hairer_init_dt(rhs, y0, cfg.integrator.rtol,
+            # Initial-dt heuristic through the FAST component-major RHS
+            # (closed-form contraction, ~200 ops) instead of the row-major
+            # jacfwd path: on the flagship 200x200 render the jacfwd-based
+            # hairer_init_dt cost ~10 ms of device time vs ~4 ms for the
+            # entire fused integration kernel (round-3 profile).
+            from .ops.pallas_geodesic import geodesic_cm
+
+            def rhs_cm(y):  # [B, 8] row-major adapter over geodesic_cm
+                return geodesic_cm(metric_cm, y.T[:, None, :])[:, 0, :].T
+
+            dt0 = hairer_init_dt(rhs_cm, y0, cfg.integrator.rtol,
                                  cfg.integrator.atol, 5,
                                  cfg.integrator.lam_max)
         if cfg.backend == "xla_cm" or cfg.differentiable:
