@@ -418,6 +418,11 @@ def _make_step_body(rhs: RHS, event_fn: EventFn, cfg: IntegratorConfig):
         # A NaN dt (ray whose RHS was NaN from the start) would otherwise
         # survive every comparison below and stall the loop at max_steps.
         dt_try = jnp.where(jnp.isfinite(dt_try), dt_try, cfg.dt_min)
+        # Step sizes are auxiliary solver state, not physics — stop their
+        # gradient (see the component-major body for the full rationale:
+        # chaotic + f32-overflowing backward through the error-controller
+        # chain; physical gradients flow via stages + event localization).
+        dt_try = lax.stop_gradient(dt_try)
 
         y_new, err, k_last, ks = stepper(rhs, st.y, dt_try, st.k1)
 

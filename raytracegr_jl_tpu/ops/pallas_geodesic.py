@@ -827,6 +827,14 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
         dt_try = jnp.maximum(jnp.minimum(dt, lam_left), cfg.dt_min)
         dt_try = jnp.where(jnp.isfinite(dt_try), dt_try,
                            jnp.asarray(cfg.dt_min, dtype))
+        # Step SIZES are auxiliary solver state, not physics: stop their
+        # gradient (standard discrete-adjoint practice). Keeping it makes
+        # adaptive-tsit5 reverse mode both noisy (the params->error
+        # norm->dt->trajectory path is chaotic) and f32-overflowing (the
+        # backward of the clamped error ratio materializes ~1e15^2
+        # products). Gradients still flow through the stage values and the
+        # event localization — the physical paths.
+        dt_try = lax.stop_gradient(dt_try)
 
         if adaptive:
             y_new, err, k_last, ks = _tsit5_step_cm(rhs, y, dt_try, k1)
