@@ -133,13 +133,20 @@ def main():
     fb = fwd_bwd_rays_per_s()
     if fb is not None:
         out["fwd_bwd_rays_per_s"] = round(fb, 1)
+    fb5 = fwd_bwd_rays_per_s(method="tsit5", steps=48)
+    if fb5 is not None:
+        out["fwd_bwd_tsit5_rays_per_s"] = round(fb5, 1)
     print(json.dumps(out))
 
 
-def fwd_bwd_rays_per_s(n: int = 200, steps: int = 200):
+def fwd_bwd_rays_per_s(n: int = 200, steps: int = 200, method: str = "rk4"):
     """Rays/s for one fwd+bwd training step (pixel MSE -> (M, a, pose)
     grads) at flagship resolution — the north-star 'forward+backward at
-    speed of light' number (VERDICT r2 missing #2). Never fails the bench."""
+    speed of light' number (VERDICT r2 missing #2). Never fails the bench.
+
+    ``method='tsit5'`` benchmarks the adaptive differentiable config
+    (fewer scan iterations cover the same lambda span; step-size control
+    is gradient-stopped) — validated end-to-end by the inversion demo."""
     try:
         import time as _time
 
@@ -152,7 +159,7 @@ def fwd_bwd_rays_per_s(n: int = 200, steps: int = 200):
 
         dtype = jnp.float32
         spec = example2_spec(n, n)
-        cfg = default_inverse_cfg(dtype, max_steps=steps,
+        cfg = default_inverse_cfg(dtype, max_steps=steps, method=method,
                                   rk4_dt=100.0 / steps,
                                   stop_rho=0.5)._replace(backend="xla_cm")
         truth = InverseParams(M=jnp.asarray(1.0, dtype),
