@@ -997,16 +997,36 @@ def integrate_rays_cm_scan(metric_cm: MetricCM, event_fn, y0: jax.Array,
 
 def integrate_rays_pallas(metric_cm: MetricCM, event_fn, y0: jax.Array,
                           dt0: jax.Array, cfg: IntegratorConfig,
-                          *, interpret: bool = False) -> TraceResult:
+                          *, interpret: bool = False,
+                          sort_rays: bool = True) -> TraceResult:
     """Run the fused kernel over a ray batch.
 
     ``y0``: [B, 8] (row-major like the XLA path); ``dt0``: [B] initial step
     sizes (computed outside, e.g. hairer_init_dt). Pads B up to a multiple of
     TILE_S*128, reshapes to component-major tiles, launches the grid, and
     unpacks back to a TraceResult matching ops/integrate.integrate_rays.
+
+    ``sort_rays``: order the batch by impact parameter w.r.t. the coordinate
+    origin before tiling (and unsort the outputs). Step counts are wildly
+    divergent near a black hole — on the accretion-disk scene p50 is ~21
+    steps but the ~1% of rays grazing the photon ring take ~15k, and a tile
+    runs until its LAST ray finishes, so camera-order tiling wastes ~7x the
+    useful work. Slow rays form a contiguous band in impact parameter, so
+    sorting clusters them into few tiles. Per-ray arithmetic is lane-wise
+    independent (tile membership changes only masked/discarded lanes and
+    loop trip counts), so results are BITWISE identical to unsorted.
     """
     B = y0.shape[0]
     dtype = y0.dtype
+    order = inv_order = None
+    if sort_rays and B > TILE_S * LANES:
+        x, u = y0[:, 1:4], y0[:, 5:8]
+        un = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+        perp = x - jnp.sum(x * un, -1, keepdims=True) * un
+        order = jnp.argsort(jnp.linalg.norm(perp, axis=-1))
+        inv_order = jnp.argsort(order)
+        y0 = y0[order]
+        dt0 = dt0[order]
     tile = TILE_S * LANES
     n_tiles = -(-B // tile)
     Bp = n_tiles * tile
@@ -1049,5 +1069,8 @@ def integrate_rays_pallas(metric_cm: MetricCM, event_fn, y0: jax.Array,
     lam_out = lam.reshape(Bp)[:B]
     hit_out = hit.reshape(Bp)[:B] > 0
     steps_out = steps.reshape(Bp)[:B]
+    if inv_order is not None:
+        y_out, lam_out = y_out[inv_order], lam_out[inv_order]
+        hit_out, steps_out = hit_out[inv_order], steps_out[inv_order]
     return TraceResult(y=y_out, lam=lam_out, hit=hit_out, steps=steps_out,
                        n_iters=jnp.zeros((), jnp.int32))
