@@ -37,7 +37,8 @@ def render_disk(n=1024, backend="pallas", a=0.8, dtype=jnp.float32):
     tol = default_tol(dtype)
     cfg = RenderConfig(
         integrator=IntegratorConfig(method="tsit5", rtol=tol, atol=tol,
-                                    max_steps=20_000, stop_rho=1.0),
+                                    max_steps=20_000, stop_rho=1.0,
+                                    sort_rays=True),
         backend=backend, shading="redshift")
     fn = jax.jit(render_fn(metric, scene, cfg))
     rgb = jax.block_until_ready(fn(canvas.pos, canvas.normal))  # compile

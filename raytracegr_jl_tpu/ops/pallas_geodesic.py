@@ -998,7 +998,7 @@ def integrate_rays_cm_scan(metric_cm: MetricCM, event_fn, y0: jax.Array,
 def integrate_rays_pallas(metric_cm: MetricCM, event_fn, y0: jax.Array,
                           dt0: jax.Array, cfg: IntegratorConfig,
                           *, interpret: bool = False,
-                          sort_rays: bool = True) -> TraceResult:
+                          sort_rays: bool | None = None) -> TraceResult:
     """Run the fused kernel over a ray batch.
 
     ``y0``: [B, 8] (row-major like the XLA path); ``dt0``: [B] initial step
@@ -1006,18 +1006,23 @@ def integrate_rays_pallas(metric_cm: MetricCM, event_fn, y0: jax.Array,
     TILE_S*128, reshapes to component-major tiles, launches the grid, and
     unpacks back to a TraceResult matching ops/integrate.integrate_rays.
 
-    ``sort_rays``: order the batch by impact parameter w.r.t. the coordinate
-    origin before tiling (and unsort the outputs). Step counts are wildly
-    divergent near a black hole — on the accretion-disk scene p50 is ~21
-    steps but the ~1% of rays grazing the photon ring take ~15k, and a tile
-    runs until its LAST ray finishes, so camera-order tiling wastes ~7x the
-    useful work. Slow rays form a contiguous band in impact parameter, so
-    sorting clusters them into few tiles. Per-ray arithmetic is lane-wise
-    independent (tile membership changes only masked/discarded lanes and
-    loop trip counts), so results are BITWISE identical to unsorted.
+    ``sort_rays`` (default: ``cfg.sort_rays``): order the batch by impact
+    parameter w.r.t. the coordinate origin before tiling (and unsort the
+    outputs). Step counts are wildly divergent near a black hole — on the
+    accretion-disk scene p50 is ~21 steps but the ~1% of rays grazing the
+    photon ring take ~15k, and a tile runs until its LAST ray finishes, so
+    camera-order tiling wastes ~7x the useful work. Slow rays form a
+    contiguous band in impact parameter, so sorting clusters them into few
+    tiles (disk 1024x1024: 98k -> 248k rays/s). Per-ray arithmetic is
+    lane-wise independent (tile membership changes only masked/discarded
+    lanes and loop trip counts), so results are BITWISE identical to
+    unsorted. Costs one argsort + gathers (~16 ms per megaray) — a net
+    loss on mildly divergent scenes, hence opt-in via the config.
     """
     B = y0.shape[0]
     dtype = y0.dtype
+    if sort_rays is None:
+        sort_rays = cfg.sort_rays
     order = inv_order = None
     if sort_rays and B > TILE_S * LANES:
         x, u = y0[:, 1:4], y0[:, 5:8]
