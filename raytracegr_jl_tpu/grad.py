@@ -105,7 +105,14 @@ def _grad_rho_min(cfg: RenderConfig) -> float:
     partials at ~(2/stop_rho)^4 instead of ~1e12, which is what keeps the
     f32 (M, a) cotangent sums over 10^4+ rays finite (an f64 reference run
     shows the true gradients are O(1); the 1e-3 clamp merely overflows f32
-    on the way to them)."""
+    on the way to them).
+
+    Model-mismatch note: with stop_rho > 0 this clamp differs from the
+    standard forward renderer's 1e-3, so pixels whose rays step inside
+    stop_rho/2 before the capture check can differ slightly between the two
+    paths. When fitting against a target image, render the TARGET through
+    the same make_*_for_params factory (or pass the same rho_min to the
+    target render) so forward model and target share the clamp."""
     return max(1e-3, 0.5 * cfg.integrator.stop_rho)
 
 

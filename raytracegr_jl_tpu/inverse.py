@@ -48,6 +48,11 @@ def fit(spec: SceneSpec, target_rgb: jax.Array, init: InverseParams,
     after restart continue with ``fit(..., init=restored_params,
     opt_state=restored_opt_state)`` — the continuation is bit-identical to
     an uninterrupted run of the combined length (tests/test_checkpoint.py).
+    When ``learning_rate`` is an optax SCHEDULE, pass the IDENTICAL
+    full-length schedule object to the resumed call (the step count resumes
+    via opt_state, so the schedule is re-entered at the right step); a
+    fresh schedule constructed over only the remaining steps silently
+    changes the trajectory.
 
     ``trainable`` optionally masks the gradient pytree (0/1 floats, e.g.
     ``InverseParams(M=1.0, a=0.0, sphere_pos=jnp.array([0,0,0,1.]))`` to

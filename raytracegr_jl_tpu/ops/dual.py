@@ -22,6 +22,25 @@ Design (TPU-native, not a translation):
     it verbatim for API parity; the default is the correct rule.
   * Comparisons (`==`, `<`, ...) compare primals only, matching the reference
     (RayTraceGR.jl:198-231) so error-control logic sees primal values.
+
+Reference overload coverage (RayTraceGR.jl:51-247 — the full Base surface):
+  unary +/-            -> __pos__/__neg__            (:51-57)
+  +, -, *, /  (Dual x {Dual, T, Integer}, reflected) ->
+      __add__/__radd__/__sub__/__rsub__/__mul__/__rmul__/__truediv__/
+      __rtruediv__ with ``lift`` promotion               (:59-120)
+  \\ (ldiv, 3 overloads) -> ldiv(a, b)               (:122-131)
+  inv                  -> inv(x)                     (:107-110)
+  literal_pow ^0..^4, ^Integer, ^T, ^Dual ->
+      __pow__ (with the n==0/n==1 short-circuits), __rpow__  (:132-148)
+  abs acos asin atan atan2 cbrt cos exp log sin sqrt -> same names
+      (:150-196; atan2's wrong reference rule behind bug_compatible=True)
+  ==, !=, <, <=, >, >= (primal-only) -> dunders      (:198-231)
+  isinf, isnan         -> isinf/isnan                (:233-235)
+  hash                 -> hash_dual                  (:243-245)
+  isequal              -> isequal                    (:246-248)
+  isless               -> isless                     (:249-252)
+  promote_rule/convert/eps/zero/one -> lift/constant/seed (pytree-native;
+      the reference's :23-49 promotion maze collapses to ``lift``)
 """
 
 from __future__ import annotations
@@ -94,6 +113,11 @@ class Dual(NamedTuple):
                 return self
         dval = n * self.val ** (n - 1)
         return Dual(self.val ** n, dval[..., None] * self.eps)
+
+    def __rpow__(self, base):
+        # constant ** Dual (RayTraceGR.jl:145-148 with x a zero-tangent
+        # lift): r = b^y, tangent r*log(b) * y.eps.
+        return lift(base, self).__pow__(self)
 
     # -- comparisons: primal-only (RayTraceGR.jl:198-231) --
     def __eq__(self, o):  # type: ignore[override]
@@ -234,6 +258,48 @@ def isinf(x: Dual) -> jax.Array:
     return jnp.isinf(x.val)
 
 
+def inv(x: Dual) -> Dual:
+    """``1/(a + eps b) = (a - eps b)/a^2`` (RayTraceGR.jl:107-110)."""
+    iv = 1.0 / x.val
+    return Dual(iv, (-(iv * iv))[..., None] * x.eps)
+
+
+def ldiv(a, b):
+    """Julia's left-division ``a \\ b == b / a`` (RayTraceGR.jl:122-131).
+
+    Either argument may be a Dual or a constant (at least one must be a
+    Dual, matching the reference's three overloads)."""
+    if isinstance(a, Dual):
+        return lift(b, a).__truediv__(a)
+    return b.__truediv__(lift(a, b))
+
+
+def hash_dual(x: Dual) -> jax.Array:
+    """Deterministic elementwise hash mixing val and eps, seeded with the
+    reference's magic constant 0xdccda268 (RayTraceGR.jl:243-245:
+    ``hash(0xdccda268, hash(x.val, hash(x.eps, h)))``). Bit-level recipe
+    differs (Julia's Base.hash is not specified cross-language); the
+    CONTRACT matches: equal (val, eps) pairs hash equal, and the hash
+    depends on both components."""
+    from jax import lax
+
+    def mix(h, v):
+        bits = lax.bitcast_convert_type(
+            v.astype(jnp.float64), jnp.uint64) if v.dtype != jnp.uint64 else v
+        return (h ^ bits) * jnp.uint64(0x100000001B3)  # FNV-1a step
+
+    h = jnp.full(x.val.shape, 0xdccda268, jnp.uint64)
+    for i in range(x.eps.shape[-1]):
+        h = mix(h, x.eps[..., i])
+    return mix(h, x.val)
+
+
+def isequal(a: Dual, b: Dual) -> jax.Array:
+    """Structural equality: val AND every eps component
+    (RayTraceGR.jl:246-248) — unlike ``==`` which is primal-only."""
+    return (a.val == b.val) & jnp.all(a.eps == b.eps, axis=-1)
+
+
 def isless(a: Dual, b: Dual) -> jax.Array:
     """Lexicographic (val, then eps) strict order (RayTraceGR.jl:243-247)."""
     val_lt = a.val < b.val
@@ -283,7 +349,10 @@ def kerr_schild_dual(x: Dual, M=1.0, a=0.0, *,
     k = x.eps.shape[-1]
     xs, ys, zs = x[..., 1], x[..., 2], x[..., 3]
     rho2 = xs * xs + ys * ys + zs * zs
-    rho2 = clamp_min(rho2, rho_min * rho_min)
+    # Same clamp semantics as metrics.clamped_rho2: as_written needs the
+    # stronger rho2 >= a^2 + rho_min^2 floor (sqrt(rho2 - a^2) NaN-safety).
+    floor = rho_min * rho_min + (a * a if r_formula == "as_written" else 0.0)
+    rho2 = clamp_min(rho2, floor)
     half = (rho2 - a * a) / 2.0
     inner = sqrt(half * half + (a * a) * (zs * zs))
     if r_formula == "as_written":

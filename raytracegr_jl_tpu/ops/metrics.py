@@ -57,6 +57,29 @@ def minkowski(x: jax.Array) -> jax.Array:
     return jnp.broadcast_to(g, x.shape[:-1] + (D, D))
 
 
+def clamped_rho2(rho2_raw: jax.Array, a, rho_min: float,
+                 r_formula: str = R_AS_WRITTEN) -> jax.Array:
+    """Singularity-clamped coordinate radius squared — THE shared clamp.
+
+    Every Kerr-Schild evaluation site (row-major metrics here, the
+    component-major twins in ops/pallas_geodesic.py, the Dual oracle) must
+    route through this so the clamp semantics stay identical.
+
+    ``as_written`` needs the STRONGER floor ``rho2 >= a^2 + rho_min^2``: its
+    radius contains ``sqrt(rho2 - a^2)`` (RayTraceGR.jl:284 verbatim), which
+    is NaN for rho < |a| — and ``a`` is a traced parameter, so an optimizer
+    wandering ``a`` upward poisons the whole batch's gradients (one NaN
+    primal under remat => NaN cotangents everywhere). For a = 0 this reduces
+    exactly to the plain ``rho_min`` clamp, so golden parity is unaffected.
+    ``textbook`` is NaN-safe for all a (r^2 = half + inner >= 0 always) and
+    keeps the plain floor.
+    """
+    eps2 = rho_min * rho_min
+    if r_formula == R_AS_WRITTEN:
+        return jnp.maximum(rho2_raw, a * a + eps2)
+    return jnp.maximum(rho2_raw, eps2)
+
+
 def kerr_schild_radius(
     rho2: jax.Array, z: jax.Array, a, *, r_formula: str = R_AS_WRITTEN
 ) -> jax.Array:
@@ -65,6 +88,9 @@ def kerr_schild_radius(
     ``as_written`` reproduces the reference formula at RayTraceGR.jl:284
     (outer sqrt misplaced); ``textbook`` is the standard
     ``r^2 = (rho^2-a^2)/2 + sqrt(a^2 z^2 + ((rho^2-a^2)/2)^2)``.
+
+    ``rho2`` must already be clamped via ``clamped_rho2`` (the as_written
+    branch assumes ``rho2 >= a^2``).
     """
     half = (rho2 - a * a) / 2
     inner = jnp.sqrt(a * a * z * z + half * half)
@@ -76,6 +102,34 @@ def kerr_schild_radius(
     elif r_formula == R_TEXTBOOK:
         return jnp.sqrt(half + inner)
     raise ValueError(f"unknown r_formula: {r_formula!r}")
+
+
+def kerr_schild_radius_partials(rho2: jax.Array, z: jax.Array, a,
+                                *, r_formula: str = R_AS_WRITTEN):
+    """``(r, dr/du, dr/dw)`` with u = rho2 and w = the EXPLICIT z-dependence
+    (through ``inner``/``k3``), for the hand-derived analytic tangents of the
+    component-major metric (ops/pallas_geodesic.py dlist_fn / ks_parts —
+    previously two hand-synced copies of this algebra; VERDICT r3 weak #2).
+
+    ``rho2`` must be pre-clamped via ``clamped_rho2``: the as_written branch
+    keeps ``s = sqrt(rho2 - a^2) >= rho_min``, which also bounds ``0.25/s``.
+    """
+    half = (rho2 - a * a) / 2
+    inner = jnp.sqrt(a * a * z * z + half * half)
+    inv_inner = 1.0 / inner
+    if r_formula == R_AS_WRITTEN:
+        s = jnp.sqrt(rho2 - a * a)
+        r = s / 2 + inner
+        dr_du = 0.25 / s + 0.5 * half * inv_inner
+        dr_dw = a * a * z * inv_inner
+    elif r_formula == R_TEXTBOOK:
+        r = jnp.sqrt(half + inner)
+        inv_2r = 0.5 / r
+        dr_du = (0.5 + 0.5 * half * inv_inner) * inv_2r
+        dr_dw = (a * a * z * inv_inner) * inv_2r
+    else:
+        raise ValueError(f"unknown r_formula: {r_formula!r}")
+    return r, dr_du, dr_dw
 
 
 def kerr_schild(
@@ -106,7 +160,7 @@ def kerr_schild(
 
     xs, ys, zs = x[..., 1], x[..., 2], x[..., 3]
     rho2 = xs * xs + ys * ys + zs * zs
-    rho2 = jnp.maximum(rho2, rho_min * rho_min)
+    rho2 = clamped_rho2(rho2, a, rho_min, r_formula)
     r = kerr_schild_radius(rho2, zs, a, r_formula=r_formula)
     r2 = r * r
     f = 2 * M * (r * r2) / (r2 * r2 + a * a * zs * zs)

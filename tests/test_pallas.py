@@ -79,6 +79,35 @@ class TestPallasRender:
         frac_same = (np.abs(rgb_p - rgb_x).max(-1) < 1e-3).mean()
         assert frac_same > 0.97, f"only {frac_same:.3f} pixels match"
 
+    def test_sort_rays_bitwise_identical(self):
+        """ADVICE r3: sort_rays' central claim — bitwise-identical results
+        to unsorted — regression-tested. Holds because per-ray arithmetic is
+        lane-wise independent; a future kernel change introducing cross-lane
+        reductions would break this loudly."""
+        from raytracegr_jl_tpu.ops.pallas_geodesic import (
+            LANES, TILE_S, integrate_rays_pallas, scene_event_cm)
+        from raytracegr_jl_tpu.render import _metric_cm_of
+
+        dtype = jnp.float32
+        spec = example2_spec(48, 48)  # 2304 rays > one tile => sorting acts
+        metric, scene, canvas = build(spec, dtype)
+        y0 = jnp.concatenate([canvas.pos, canvas.normal], -1).reshape(-1, 8)
+        assert y0.shape[0] > TILE_S * LANES
+        cfg = IntegratorConfig(method="tsit5", rtol=3e-6, atol=3e-6,
+                               max_steps=400)
+        mcm = _metric_cm_of(metric)
+        ev = scene_event_cm(scene, literal=True)
+        dt0 = jnp.full(y0.shape[:1], 0.01, dtype)
+        a = integrate_rays_pallas(mcm, ev, y0, dt0, cfg, interpret=True,
+                                  sort_rays=False)
+        b = integrate_rays_pallas(mcm, ev, y0, dt0, cfg, interpret=True,
+                                  sort_rays=True)
+        np.testing.assert_array_equal(np.asarray(a.y), np.asarray(b.y))
+        np.testing.assert_array_equal(np.asarray(a.lam), np.asarray(b.lam))
+        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+        np.testing.assert_array_equal(np.asarray(a.steps),
+                                      np.asarray(b.steps))
+
 
 class TestXlaCmBackend:
     def test_forward_matches_row_major_f64(self):
