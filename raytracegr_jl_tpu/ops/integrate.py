@@ -112,6 +112,19 @@ class IntegratorConfig(NamedTuple):
     # 2.5x — and leave off for mild ones, where the argsort + gathers
     # (~16 ms per megaray) outweigh the win.
     sort_rays: bool = False
+    # Differentiable-path selector for the component-major backends:
+    # "ckpt" = the checkpointed custom-VJP integrator (ops/adjoint.py) —
+    # segment while_loops with early exit, backward replays only segments
+    # that ran; "scan" = the bounded rematerialized lax.scan (always
+    # max_steps — the reference implementation the ckpt path is tested
+    # against).
+    grad_mode: str = "ckpt"
+    grad_seg_len: int = 8  # ckpt checkpoint spacing (steps per segment)
+    # Split the DIFFERENTIABLE ray batch into this many chunks sorted by
+    # impact parameter, each integrated by its own ckpt call: a chunk's
+    # while_loop (fwd AND bwd) runs only as long as its own slowest ray.
+    # Results bitwise identical (lane independence). 1 = off.
+    grad_groups: int = 1
     # State-magnitude cap on RHS inputs (0 = disabled). Captured rays obey
     # u' = -Γ u u, so |u| grows superexponentially and overflows to inf in
     # a handful of steps; rhs(inf) is NaN, and one NaN PRIMAL anywhere in
@@ -185,7 +198,11 @@ def error_norm(err, y0, y1, rtol, atol):
     """
     sc = atol + rtol * jnp.maximum(jnp.abs(y0), jnp.abs(y1))
     ratio = jnp.clip(err / sc, -1e15, 1e15)
-    return jnp.sqrt(jnp.mean(ratio ** 2, axis=-1))
+    # Floor inside the sqrt: an exactly-zero error estimate (straight rays
+    # in flat space; stationary padded lanes) makes the sqrt vjp inf, and
+    # 0-cotangent x inf = NaN poisons whole-batch parameter gradients.
+    # Primal-invariant: every consumer floors or compares en above 1e-10.
+    return jnp.sqrt(jnp.maximum(jnp.mean(ratio ** 2, axis=-1), 1e-30))
 
 
 def hermite_interp(y0, y1, f0, f1, dt, theta):

@@ -654,34 +654,36 @@ def _tsit5_interp_cm(y0, ks, dt, th):
     return y0 + dt * acc
 
 
-def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig,
+def _detect_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig,
                      ks=None):
-    """First-crossing localization; shapes (8,S,128)/(S,128).
+    """DETECTION half of event handling: bracket the first zero crossing of
+    the event function within a step; shapes (8,S,128)/(S,128).
 
-    With ``ks`` (Tsit5 stage values) the search/polish run on the genuine
-    4th-order Tsit5 dense output (integrate.tsit5_bi); cubic Hermite
-    otherwise (RK4)."""
-    dtype = y0.dtype
-    # Gradient-opaque search phase (same rationale as the row-major
-    # _locate_event): bracketing + bisection is pure root finding.
-    # The event function only reads the POSITION components y[0:4]
-    # (scene_event_cm contract), so every search/polish interpolation runs
-    # on the 4 position rows — half the dense-output FLOPs of the full
-    # 8-component state; only the one final y* is interpolated in full.
+    Runs EVERY loop iteration (it decides whether a ray terminates this
+    step), entirely on gradient-stopped values — bracketing is pure root
+    finding. The expensive LOCALIZATION half (bisection + Newton polish +
+    final interpolation) is deferred to one post-loop ``localize_events_cm``
+    pass per batch/tile: its inputs are fully determined by the crossing
+    step's (y0, dt, brackets), which the step body stores per ray, so
+    results are bitwise identical to in-loop localization while the
+    per-iteration cost drops to sampling only (round-4 perf work: the
+    always-paid Newton polish and the usually-paid batch-cond bisection
+    were ~30% of every iteration).
+
+    With ``ks`` (Tsit5 stage values) sampling runs on the genuine 4th-order
+    Tsit5 dense output (integrate.tsit5_bi); cubic Hermite otherwise (RK4).
+    The event function only reads POSITION components y[0:4]
+    (scene_event_cm contract), so sampling interpolates 4 rows only.
+    Returns (crossed [S,128] bool, th_lo, th_hi).
+    """
     sg = lax.stop_gradient
     y0s, y1s, f0s, f1s, dts = sg(y0), sg(y1), sg(f0), sg(f1), sg(dt)
     if ks is not None:
-        ksp = tuple(k[:4] for k in ks)
-        ksp_s = tuple(sg(k) for k in ksp)
+        ksp_s = tuple(sg(k[:4]) for k in ks)
         interp_s = lambda th: _tsit5_interp_cm(y0s[:4], ksp_s, dts, th)
-        interp_gp = lambda th: _tsit5_interp_cm(y0[:4], ksp, dt, th)
-        interp_g = lambda th: _tsit5_interp_cm(y0, ks, dt, th)
     else:
         interp_s = lambda th: _hermite_cm(y0s[:4], y1s[:4], f0s[:4],
                                           f1s[:4], dts, th)
-        interp_gp = lambda th: _hermite_cm(y0[:4], y1[:4], f0[:4], f1[:4],
-                                           dt, th)
-        interp_g = lambda th: _hermite_cm(y0, y1, f0, f1, dt, th)
     d_prev = event_fn(y0s)
     npts = cfg.interp_points
     th_lo = jnp.zeros_like(d_prev)
@@ -703,6 +705,7 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig,
         # Grazing-hit rescue (see the row-major _locate_event): trisect a
         # one-subinterval bracket around the global argmin of the samples
         # (clamped at the step edges); fire if the refined minimum dips <= 0.
+        # Stays in-loop: it decides WHETHER the event fires.
         d_best = d_list[0]
         a0 = jnp.zeros_like(d_prev)
         b0 = jnp.full_like(d_prev, 1.0 / npts)
@@ -731,6 +734,30 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig,
         found = found | min_neg
 
     crossed = found & (d_prev > 0.0)
+    return crossed, th_lo, th_hi
+
+
+def _localize_from_cm(event_fn, y0, y1, f0, f1, dt, th_lo, th_hi,
+                      cfg: IntegratorConfig, ks=None):
+    """LOCALIZATION half: bisect the detected bracket on the dense output,
+    Newton/IFT-polish, interpolate the hit state. Same math that used to
+    run inside every loop iteration — now invoked once per batch/tile on
+    each ray's stored crossing-step data (see _detect_event_cm).
+    Returns (th_star, y_star)."""
+    sg = lax.stop_gradient
+    y0s, y1s, f0s, f1s, dts = sg(y0), sg(y1), sg(f0), sg(f1), sg(dt)
+    if ks is not None:
+        ksp = tuple(k[:4] for k in ks)
+        ksp_s = tuple(sg(k) for k in ksp)
+        interp_s = lambda th: _tsit5_interp_cm(y0s[:4], ksp_s, dts, th)
+        interp_gp = lambda th: _tsit5_interp_cm(y0[:4], ksp, dt, th)
+        interp_g = lambda th: _tsit5_interp_cm(y0, ks, dt, th)
+    else:
+        interp_s = lambda th: _hermite_cm(y0s[:4], y1s[:4], f0s[:4],
+                                          f1s[:4], dts, th)
+        interp_gp = lambda th: _hermite_cm(y0[:4], y1[:4], f0[:4], f1[:4],
+                                           dt, th)
+        interp_g = lambda th: _hermite_cm(y0, y1, f0, f1, dt, th)
 
     def bisect_body(_, carry):
         lo, hi = carry
@@ -739,19 +766,12 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig,
         gt = d_mid > 0.0
         return jnp.where(gt, mid, lo), jnp.where(gt, hi, mid)
 
-    # Most steps localize nothing: skip the bisection sweep (the single
-    # most expensive part of a loop iteration — bisect_iters interpolant +
-    # event evaluations) unless some ray in this batch/tile actually
-    # crossed. Same batch-level cond as the row-major _locate_event.
-    def refine(args):
-        return lax.fori_loop(0, cfg.bisect_iters, bisect_body, args)
-
-    lo, hi = lax.cond(jnp.any(crossed), refine, lambda a: a,
-                      (th_lo, th_hi))
+    lo, hi = lax.fori_loop(0, cfg.bisect_iters, bisect_body,
+                           (sg(th_lo), sg(th_hi)))
 
     # Newton/IFT polish (see the row-major _locate_event): value unchanged,
     # but theta* gradients flow through the root condition — required for
-    # correct pose/param gradients on the differentiable cm-scan path (a
+    # correct pose/param gradients on the differentiable cm paths (a
     # no-op for the forward-only kernel). Relative slope threshold +
     # clipped correction keep every vjp quotient f32-finite.
     th0 = hi  # already gradient-stopped
@@ -764,16 +784,22 @@ def _locate_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig,
     delta = jnp.where(ok, val, 0.0) / jnp.where(ok, dval, 1.0)
     th_star = jnp.clip(th0 - jnp.clip(delta, -1.0, 1.0), 0.0, 1.0)
     y_star = interp_g(th_star)
-    return crossed, th_star, y_star
+    return th_star, y_star
 
 
 def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
     """(cond, body, init) for the component-major adaptive loop.
 
-    State layout: y (8, *shape), per-ray scalars (*shape). Shared verbatim
-    by the Pallas kernel (tiles in VMEM) and the plain-XLA component-major
-    driver ``integrate_rays_cm`` (full batch) — one implementation, two
-    execution strategies.
+    State layout (14-tuple): y (8, *shape), per-ray scalars (*shape), plus
+    the crossing-step record for DEFERRED event localization —
+    ``ev_y0`` (8, *shape) pre-step state, ``ev_dt``, ``ev_lam``, ``ev_lo``,
+    ``ev_hi``. The loop only DETECTS crossings (cheap sampling); callers run
+    ``localize_events_cm`` once after the loop to bisect/polish/interpolate
+    the hit states — bitwise identical to the former in-loop localization
+    (the record fully determines it; stages are recomputed bit-exactly from
+    ev_y0 via the FSAL identity k1 == rhs(y)). Shared verbatim by the
+    Pallas kernel (tiles in VMEM) and the plain-XLA component-major drivers
+    — one implementation, two execution strategies.
 
     Carried masks are f32 (0/1), not bool: Mosaic fails to legalize
     i1-vector yields of the while op ('scf.yield').
@@ -782,11 +808,12 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
     adaptive = cfg.method == "tsit5"
 
     def cond(st):
-        y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
+        active_f, it = st[4], st[8]
         return (jnp.max(active_f) > 0) & (it < cfg.max_steps)
 
     def body(st):
-        y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
+        (y, lam, dt, k1, active_f, hit_f, steps, err_old, it,
+         ev_y0, ev_dt, ev_lam, ev_lo, ev_hi) = st
         dtype = y.dtype
         active = active_f > 0
         hit = hit_f > 0
@@ -810,7 +837,15 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
             # Ratio clamp + finite "huge error" marker: see
             # integrate.error_norm / ERR_BIG (f32 overflow -> NaN-grad trap).
             ratio = jnp.clip(err / sc, -1e15, 1e15)
-            en = jnp.sqrt(jnp.mean(ratio ** 2, axis=0))
+            # Floor inside the sqrt: a ray with EXACTLY zero error estimate
+            # (stationary padding lanes — Tsit5's btilde sum to 0 on a
+            # constant field — or f32-underflowed far-field rays) hits
+            # sqrt(0), whose vjp is 0.5/0 = inf; even a ZERO cotangent then
+            # yields 0*inf = NaN, which poisons the shared (M, a) cotangent
+            # sums of the whole batch. The floor is primal-invariant: en is
+            # only consumed via max(en, 1e-10), max(en, qold_init) and the
+            # accept compare, all of which treat 1e-15 and 0 identically.
+            en = jnp.sqrt(jnp.maximum(jnp.mean(ratio ** 2, axis=0), 1e-30))
             bad = ~jnp.isfinite(en) | ~jnp.all(jnp.isfinite(y_new), axis=0)
             en = jnp.where(bad, _ERR_BIG, en)
             accept = en <= 1.0
@@ -842,16 +877,25 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
         # (finite, result discarded) — same guard as the row-major body.
         ks_evt = (None if ks is None
                   else tuple(jnp.where(fin, k, 0.0) for k in ks))
-        crossed, th_star, y_star = _locate_event_cm(
+        crossed, th_lo, th_hi = _detect_event_cm(
             event_fn, y, y_evt, k1, k_evt, dt_try, cfg, ks=ks_evt)
         hit_now = do & crossed
 
-        y_acc = jnp.where(hit_now, y_star, y_evt)
-        lam_acc = lam + jnp.where(hit_now, th_star * dt_try, dt_try)
+        # Record the crossing step (first hit only: the ray deactivates, so
+        # hit_now cannot re-fire). localize_events_cm replays it post-loop.
+        ev_y0 = jnp.where(hit_now, y, ev_y0)
+        ev_dt = jnp.where(hit_now, dt_try, ev_dt)
+        ev_lam = jnp.where(hit_now, lam, ev_lam)
+        ev_lo = jnp.where(hit_now, th_lo, ev_lo)
+        ev_hi = jnp.where(hit_now, th_hi, ev_hi)
+
+        lam_acc = lam + dt_try
         done_span = lam_acc >= cfg.lam_max - 1e-6
 
-        y = jnp.where(do, y_acc, y)
-        lam = jnp.where(do, lam_acc, lam)
+        # Hit rays freeze at the pre-localization endpoint (their final
+        # (y, lam) come from localize_events_cm, overwriting these).
+        y = jnp.where(do, y_evt, y)
+        lam = jnp.where(do & ~hit_now, lam_acc, lam)
         k1 = jnp.where(do, k_evt, k1)
         hit = hit | hit_now
         active = active & ~hit_now & ~(do & done_span) & ~dead
@@ -859,16 +903,59 @@ def make_step_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
         dt = jnp.where(active, dt_next, dt)
         err_old = jnp.where(do, jnp.maximum(en, cfg.qold_init), err_old)
         return (y, lam, dt, k1, active.astype(dtype), hit.astype(dtype),
-                steps, err_old, it + 1)
+                steps, err_old, it + 1,
+                ev_y0, ev_dt, ev_lam, ev_lo, ev_hi)
 
     def init(y0, dt0, act0_f):
         dtype = y0.dtype
         zero = jnp.zeros_like(dt0)
         return (y0, zero, dt0, rhs(y0), act0_f.astype(dtype),
                 jnp.zeros_like(dt0), jnp.zeros(dt0.shape, jnp.int32),
-                jnp.full_like(dt0, cfg.qold_init), jnp.zeros((), jnp.int32))
+                jnp.full_like(dt0, cfg.qold_init), jnp.zeros((), jnp.int32),
+                # ev record init: y0 is a valid (finite) state, dt=1 a
+                # harmless span — localization on never-hit rays is masked
+                # out but must stay NaN-free.
+                y0, jnp.ones_like(dt0), zero, zero, zero)
 
     return cond, body, init
+
+
+def localize_events_cm(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig,
+                       st):
+    """Post-loop event localization: replay each hit ray's recorded crossing
+    step (stages recomputed bit-exactly — FSAL gives k1 == rhs(ev_y0)),
+    bisect + Newton-polish the bracket, and return the final ``(y, lam)``
+    with hit rays overwritten by their localized states.
+
+    One call per batch (XLA drivers) or per tile (inside the Pallas
+    kernel) replaces what used to run inside EVERY loop iteration; results
+    are bitwise identical. Differentiable: the Newton/IFT polish and the
+    final interpolation carry the theta*/hit-position gradients, and they
+    sit OUTSIDE the integration loop, so the custom-VJP checkpoint path
+    (integrate_rays_cm_ckpt) gets event gradients through plain AD of this
+    epilogue."""
+    (y, lam, dt, k1f, active_f, hit_f, steps, err_old, it,
+     ev_y0, ev_dt, ev_lam, ev_lo, ev_hi) = st
+    rhs = functools.partial(geodesic_cm, metric_cm)
+
+    def run(_):
+        k1 = rhs(ev_y0)
+        if cfg.method == "tsit5":
+            y1, _, k_last, ks = _tsit5_step_cm(rhs, ev_y0, ev_dt, k1)
+        else:
+            y1, _, k_last, ks = _rk4_step_cm(rhs, ev_y0, ev_dt, k1)
+        return _localize_from_cm(event_fn, ev_y0, y1, k1, k_last, ev_dt,
+                                 ev_lo, ev_hi, cfg, ks=ks)
+
+    def skip(_):
+        return jnp.zeros_like(ev_dt), ev_y0
+
+    hit = hit_f > 0
+    # Batch/tile-level skip: a tile with no hits pays one reduction.
+    th_star, y_star = lax.cond(jnp.any(hit), run, skip, None)
+    y_out = jnp.where(hit, y_star, y)
+    lam_out = jnp.where(hit, ev_lam + th_star * ev_dt, lam)
+    return y_out, lam_out
 
 
 def _make_kernel(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
@@ -876,12 +963,15 @@ def _make_kernel(metric_cm: MetricCM, event_fn, cfg: IntegratorConfig):
 
     def kernel(y_ref, dt_ref, act_ref, yo_ref, lam_ref, hit_ref, steps_ref):
         st0 = init(y_ref[:], dt_ref[:], (act_ref[:] > 0))
-        y, lam, dt, k1, active_f, hit_f, steps, err_old, it = lax.while_loop(
-            cond, body, st0)
-        yo_ref[:] = y
-        lam_ref[:] = lam
-        hit_ref[:] = (hit_f > 0).astype(jnp.int32)
-        steps_ref[:] = steps
+        st = lax.while_loop(cond, body, st0)
+        # Deferred event localization: ONE bisect/polish pass per tile,
+        # after the integration loop (cond-skipped for hitless tiles) —
+        # the per-iteration VPU work is detection-only.
+        y_fin, lam_fin = localize_events_cm(metric_cm, event_fn, cfg, st)
+        yo_ref[:] = y_fin
+        lam_ref[:] = lam_fin
+        hit_ref[:] = (st[5] > 0).astype(jnp.int32)
+        steps_ref[:] = st[6]
 
     return kernel
 
@@ -916,14 +1006,14 @@ def integrate_rays_cm(metric_cm: MetricCM, event_fn, y0: jax.Array,
 
     cond, body, init = make_step_cm(metric_cm, event_fn, cfg)
     st = lax.while_loop(cond, body, init(y_cm, dt_cm, act_cm))
-    y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
+    y, lam = localize_events_cm(metric_cm, event_fn, cfg, st)
 
     return TraceResult(
         y=y.reshape(8, Bp).T[:B],
         lam=lam.reshape(Bp)[:B],
-        hit=(hit_f > 0).reshape(Bp)[:B],
-        steps=steps.reshape(Bp)[:B],
-        n_iters=it,
+        hit=(st[5] > 0).reshape(Bp)[:B],
+        steps=st[6].reshape(Bp)[:B],
+        n_iters=st[8],
     )
 
 
@@ -952,14 +1042,28 @@ def integrate_rays_cm_scan(metric_cm: MetricCM, event_fn, y0: jax.Array,
 
     st, _ = lax.scan(scan_body, init(y_cm, dt_cm, act_cm), None,
                      length=cfg.max_steps)
-    y, lam, dt, k1, active_f, hit_f, steps, err_old, it = st
+    y, lam = localize_events_cm(metric_cm, event_fn, cfg, st)
     return TraceResult(
         y=y.reshape(8, Bp).T[:B],
         lam=lam.reshape(Bp)[:B],
-        hit=(hit_f > 0).reshape(Bp)[:B],
-        steps=steps.reshape(Bp)[:B],
-        n_iters=it,
+        hit=(st[5] > 0).reshape(Bp)[:B],
+        steps=st[6].reshape(Bp)[:B],
+        n_iters=st[8],
     )
+
+
+def impact_parameter_order(y0: jax.Array):
+    """(order, inverse order) sorting a [B, 8] ray batch by impact parameter
+    w.r.t. the coordinate origin — the cheap proxy for integration cost
+    (step counts cluster in a contiguous impact-parameter band near the
+    photon ring). Used by the fused kernel's sort_rays and by the
+    grad-path grouping (IntegratorConfig.grad_groups); per-ray arithmetic
+    is lane-independent, so reordering leaves results bitwise identical."""
+    x, u = y0[:, 1:4], y0[:, 5:8]
+    un = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
+    perp = x - jnp.sum(x * un, -1, keepdims=True) * un
+    order = jnp.argsort(jnp.linalg.norm(perp, axis=-1))
+    return order, jnp.argsort(order)
 
 
 def integrate_rays_pallas(metric_cm: MetricCM, event_fn, y0: jax.Array,
@@ -992,11 +1096,7 @@ def integrate_rays_pallas(metric_cm: MetricCM, event_fn, y0: jax.Array,
         sort_rays = cfg.sort_rays
     order = inv_order = None
     if sort_rays and B > TILE_S * LANES:
-        x, u = y0[:, 1:4], y0[:, 5:8]
-        un = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
-        perp = x - jnp.sum(x * un, -1, keepdims=True) * un
-        order = jnp.argsort(jnp.linalg.norm(perp, axis=-1))
-        inv_order = jnp.argsort(order)
+        order, inv_order = impact_parameter_order(y0)
         y0 = y0[order]
         dt0 = dt0[order]
     tile = TILE_S * LANES
