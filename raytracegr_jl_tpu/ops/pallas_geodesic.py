@@ -598,7 +598,12 @@ def scene_event_cm(scene, *, literal: bool = False):
                 dy = ys - get(pos, i, 2)
                 dz = zs - get(pos, i, 3)
                 r = get(radius, i)
-                di = jnp.sign(r) * (dx * dx + dy * dy + dz * dz - r * r)
+                # Literal radius: fold the sign to a python float at trace
+                # time (jnp.sign on a python scalar materializes an f64
+                # under x64, which Mosaic rejects inside the kernel).
+                sgn = ((1.0 if r >= 0 else -1.0) if isinstance(r, float)
+                       else jnp.sign(r))
+                di = sgn * (dx * dx + dy * dy + dz * dz - r * r)
             elif kind[i] == KIND_PLANE:
                 di = t - get(time, i)
             else:  # KIND_DISK: slab /\ quadratic annulus (objects.distances)

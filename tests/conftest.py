@@ -20,7 +20,11 @@ import jax  # noqa: E402
 
 if os.environ.get("RTGR_TPU_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    # x64 for the CPU suite only: the f64 reference oracles need it, but
+    # the TPU has no native f64 — under x64, weakly-typed scalars promote
+    # to f64 inside Pallas kernels and Mosaic rejects 64-bit types. The
+    # TPU suite (RTGR_TPU_TESTS=1) runs the production f32 configuration.
+    jax.config.update("jax_enable_x64", True)
 
 import pytest  # noqa: E402
 
