@@ -133,26 +133,89 @@ def make_scene(objects: Sequence[Sphere | Plane | Disk],
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-kind signed-distance definitions — THE single source of truth.
+#
+# Every execution style derives from these: the vectorized row-major
+# ``distances`` below (get returns [N]-broadcast scene arrays), the
+# component-major event function (ops/pallas_geodesic.scene_event_cm; get
+# returns one object's traced scalar), and the Pallas in-kernel literal
+# variant (get returns a python float baked at trace time). Adding an
+# object kind means writing ONE function here and registering it — all
+# backends pick it up (tests/test_objects.py::test_register_new_kind).
+#
+# Contract (reference docstring, RayTraceGR.jl:377-383): zero on the
+# surface, positive outside, negative inside. ``t, x, y, z`` are coordinate
+# components of any broadcast-compatible shape; ``get(field, comp=None)``
+# returns the object parameter(s) in matching form.
+# ---------------------------------------------------------------------------
+
+def _sphere_distance(t, x, y, z, get):
+    """Quadratic sphere distance with the sign(radius) inside-out flip
+    (reference quirk, RayTraceGR.jl:415-419)."""
+    dx = x - get("pos", 1)
+    dy = y - get("pos", 2)
+    dz = z - get("pos", 3)
+    r = get("radius")
+    # Literal radius (Pallas baking): fold the sign to a python float at
+    # trace time — jnp.sign on a python scalar materializes an f64 under
+    # x64, which Mosaic rejects inside the kernel.
+    sgn = ((1.0 if r >= 0 else -1.0) if isinstance(r, float)
+           else jnp.sign(r))
+    return sgn * (dx * dx + dy * dy + dz * dz - r * r)
+
+
+def _plane_distance(t, x, y, z, get):
+    """Time-plane: d = t - time (reference: RayTraceGR.jl:399-401)."""
+    return t - get("time")
+
+
+def _disk_distance(t, x, y, z, get):
+    """Equatorial annulus: slab /\\ quadratic ring (beyond-reference kind;
+    same quadratic-form convention as the Sphere quirk). max() of the three
+    signed constraints is < 0 exactly inside the disk volume."""
+    dx = x - get("pos", 1)
+    dy = y - get("pos", 2)
+    dz = z - get("pos", 3)
+    rho2 = dx * dx + dy * dy
+    return jnp.maximum(jnp.abs(dz) - get("half"),
+                       jnp.maximum(rho2 - get("r_out") ** 2,
+                                   get("r_in") ** 2 - rho2))
+
+
+KIND_DISTANCE = {
+    KIND_SPHERE: _sphere_distance,
+    KIND_PLANE: _plane_distance,
+    KIND_DISK: _disk_distance,
+}
+
+
+def register_kind(kind_id: int, distance_fn) -> None:
+    """Register a new object kind's signed-distance function (see the
+    KIND_DISTANCE block comment). The Scene must encode its parameters in
+    the existing fields (pos/radius/time/r_in/r_out/half)."""
+    KIND_DISTANCE[kind_id] = distance_fn
+
+
 def distances(scene: Scene, x: jax.Array) -> jax.Array:
     """Signed distance of point(s) to EVERY object: ``[..., 4] -> [..., N]``.
 
-    Zero on the surface, positive outside, negative inside
-    (docstring contract at RayTraceGR.jl:377-383).
+    Evaluates every registered kind's definition vectorized over the object
+    axis and selects by the kind tag (object counts are tiny, so dense
+    evaluation is free and keeps shapes static under jit).
     """
-    xs = x[..., None, 1:]  # [..., 1, 3] spatial part
-    rel = xs - scene.pos[..., :, 1:]  # [..., N, 3]
-    d2 = jnp.sum(rel ** 2, axis=-1)  # [..., N]
-    sphere_d = jnp.sign(scene.radius) * (d2 - scene.radius**2)
-    plane_d = x[..., None, 0] - scene.time
-    # Disk: intersection of slab |z - z0| <= half with the quadratic annulus
-    # test (same quadratic-form convention as the Sphere quirk). max() of the
-    # three signed constraints is < 0 exactly inside the disk volume.
-    rho2 = rel[..., 0] ** 2 + rel[..., 1] ** 2  # cylindrical radius^2
-    disk_d = jnp.maximum(jnp.abs(rel[..., 2]) - scene.half,
-                         jnp.maximum(rho2 - scene.r_out ** 2,
-                                     scene.r_in ** 2 - rho2))
-    return jnp.where(scene.kind == KIND_SPHERE, sphere_d,
-                     jnp.where(scene.kind == KIND_PLANE, plane_d, disk_d))
+    t = x[..., None, 0]
+    xs, ys, zs = x[..., None, 1], x[..., None, 2], x[..., None, 3]
+
+    def get(field, comp=None):
+        arr = getattr(scene, field)
+        return arr[..., :, comp] if comp is not None else arr
+
+    d = None
+    for kid in sorted(KIND_DISTANCE):
+        dk = KIND_DISTANCE[kid](t, xs, ys, zs, get)
+        d = dk if d is None else jnp.where(scene.kind == kid, dk, d)
+    return d
 
 
 def min_distance(scene: Scene, s: jax.Array) -> jax.Array:

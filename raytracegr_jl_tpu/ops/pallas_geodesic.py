@@ -574,47 +574,26 @@ def scene_event_cm(scene, *, literal: bool = False):
     constants (forward render only; the scene must be concrete).
     """
     import numpy as np
-    from ..models.objects import KIND_PLANE, KIND_SPHERE
+    from ..models.objects import KIND_DISTANCE
 
     kind = np.asarray(scene.kind)  # concrete structure, never traced
-    if literal:
-        pos = np.asarray(scene.pos)
-        radius = np.asarray(scene.radius)
-        time = np.asarray(scene.time)
-        r_in, r_out, half = (np.asarray(scene.r_in), np.asarray(scene.r_out),
-                             np.asarray(scene.half))
-        get = lambda arr, *idx: float(arr[idx])
-    else:
-        pos, radius, time = scene.pos, scene.radius, scene.time
-        r_in, r_out, half = scene.r_in, scene.r_out, scene.half
-        get = lambda arr, *idx: arr[idx]
+
+    def make_get(i):
+        """Per-object parameter accessor over THE shared per-kind
+        definitions (models/objects.KIND_DISTANCE — single source of
+        truth): traced scalars normally; python-float literals for the
+        Pallas kernel, whose closure must not capture array constants."""
+        def get(field, comp=None):
+            arr = getattr(scene, field)
+            v = arr[i] if comp is None else arr[i, comp]
+            return float(np.asarray(v)) if literal else v
+        return get
 
     def event(y):
         t, xs, ys, zs = y[0], y[1], y[2], y[3]
         d = None
         for i in range(kind.shape[0]):
-            if kind[i] == KIND_SPHERE:
-                dx = xs - get(pos, i, 1)
-                dy = ys - get(pos, i, 2)
-                dz = zs - get(pos, i, 3)
-                r = get(radius, i)
-                # Literal radius: fold the sign to a python float at trace
-                # time (jnp.sign on a python scalar materializes an f64
-                # under x64, which Mosaic rejects inside the kernel).
-                sgn = ((1.0 if r >= 0 else -1.0) if isinstance(r, float)
-                       else jnp.sign(r))
-                di = sgn * (dx * dx + dy * dy + dz * dz - r * r)
-            elif kind[i] == KIND_PLANE:
-                di = t - get(time, i)
-            else:  # KIND_DISK: slab /\ quadratic annulus (objects.distances)
-                dx = xs - get(pos, i, 1)
-                dy = ys - get(pos, i, 2)
-                dz = zs - get(pos, i, 3)
-                rho2 = dx * dx + dy * dy
-                di = jnp.maximum(
-                    jnp.abs(dz) - get(half, i),
-                    jnp.maximum(rho2 - get(r_out, i) ** 2,
-                                get(r_in, i) ** 2 - rho2))
+            di = KIND_DISTANCE[int(kind[i])](t, xs, ys, zs, make_get(i))
             d = di if d is None else jnp.minimum(d, di)
         return d
 

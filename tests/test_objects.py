@@ -99,3 +99,47 @@ class TestShade:
         far = jnp.array([0.0, 1.01, 0.0, 0.0])    # d ~ 0.02 > 0.01
         assert not np.allclose(np.asarray(shade(sc, near)), [1, 0, 0])
         np.testing.assert_allclose(np.asarray(shade(sc, far)), [1, 0, 0])
+
+
+class TestKindRegistry:
+    """VERDICT r3 item 3: one per-kind definition drives every backend."""
+
+    def test_register_new_kind_all_backends_agree(self):
+        from raytracegr_jl_tpu.models.objects import (KIND_DISTANCE, Scene,
+                                                      distances,
+                                                      register_kind)
+        from raytracegr_jl_tpu.ops.pallas_geodesic import scene_event_cm
+
+        KIND_SLAB = 77
+
+        def slab_distance(t, x, y, z, get):
+            return jnp.abs(z - get("pos", 3)) - get("half")
+
+        register_kind(KIND_SLAB, slab_distance)
+        try:
+            scene = Scene(
+                kind=jnp.asarray([0, KIND_SLAB], jnp.int32),  # sphere + slab
+                pos=jnp.asarray([[0., 0., 0., 0.], [0., 0., 0., -1.5]]),
+                vel=jnp.zeros((2, 4)),
+                radius=jnp.asarray([-10.0, 1.0]),
+                time=jnp.zeros(2),
+                r_in=jnp.zeros(2),
+                r_out=jnp.ones(2),
+                half=jnp.asarray([1.0, 0.25]),
+            )
+            pts = jnp.asarray(
+                np.random.default_rng(0).normal(size=(64, 4)) * 3)
+            d_rm = np.asarray(distances(scene, pts))  # [64, 2]
+            # analytic slab check
+            np.testing.assert_allclose(
+                d_rm[:, 1],
+                np.abs(np.asarray(pts)[:, 3] + 1.5) - 0.25, rtol=1e-12)
+            # component-major event (min over objects), traced and literal
+            y_cm = jnp.concatenate([pts.T[:, None, :],
+                                    jnp.zeros_like(pts.T)[:, None, :]], 0)
+            for lit in (False, True):
+                ev = scene_event_cm(scene, literal=lit)
+                d_cm = np.asarray(ev(y_cm))[0]  # [64]
+                np.testing.assert_array_equal(d_cm, d_rm.min(-1))
+        finally:
+            KIND_DISTANCE.pop(KIND_SLAB, None)
