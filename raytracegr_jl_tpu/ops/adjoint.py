@@ -189,8 +189,14 @@ def integrate_rays_cm_ckpt(metric_cm, event_fn, y0: jax.Array,
     # keep full gradients. (The scan oracle path keeps the noisy
     # contributions; on capture-heavy f32 scenes the ckpt gradients are
     # the numerically defensible ones.)
-    hit_f, lam_f = st[5], st[1]
-    dead = (hit_f <= 0) & (lam_f < cfg.lam_max - 1e-6)
+    # Dead = KILLED mid-flight (inactive without hitting or exhausting the
+    # span): captured/error-failed rays whose capture-spiral Jacobians blow
+    # up the transpose. Rays still ACTIVE at the step budget are merely
+    # truncated — they keep full gradients (cutting them zeroed e.g. the
+    # entire M-gradient of short-budget configs).
+    lam_f, active_f, hit_f = st[1], st[4], st[5]
+    dead = ((hit_f <= 0) & (active_f <= 0)
+            & (lam_f < cfg.lam_max - 1e-6))
     y_loop = st[0]
     y_cut = jnp.where(dead, lax.stop_gradient(y_loop), y_loop)
     st = (y_cut,) + st[1:]

@@ -113,12 +113,16 @@ class IntegratorConfig(NamedTuple):
     # (~16 ms per megaray) outweigh the win.
     sort_rays: bool = False
     # Differentiable-path selector for the component-major backends:
+    # "auto" = "ckpt_pallas" on a real TPU with a Kerr-Schild metric,
+    # "ckpt" otherwise; "ckpt_pallas" = checkpointed custom-VJP with the
+    # FUSED Pallas forward-segment and backward-replay kernels
+    # (ops/pallas_adjoint.py — ~3x the XLA ckpt path on chip; interpret
+    # mode is far too slow for CPU tests, hence the auto split);
     # "ckpt" = the checkpointed custom-VJP integrator (ops/adjoint.py) —
-    # segment while_loops with early exit, backward replays only segments
-    # that ran; "scan" = the bounded rematerialized lax.scan (always
-    # max_steps — the reference implementation the ckpt path is tested
-    # against).
-    grad_mode: str = "ckpt"
+    # segment while_loops with early exit, XLA backward replay;
+    # "scan" = the bounded rematerialized lax.scan (always max_steps —
+    # the reference implementation the ckpt paths are tested against).
+    grad_mode: str = "auto"
     grad_seg_len: int = 8  # ckpt checkpoint spacing (steps per segment)
     # Split the DIFFERENTIABLE ray batch into this many chunks sorted by
     # impact parameter, each integrated by its own ckpt call: a chunk's

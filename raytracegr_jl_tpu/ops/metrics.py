@@ -218,5 +218,10 @@ def make_metric(
         from .pallas_geodesic import kerr_schild_cm
         fn.component_major = kerr_schild_cm(p, r_formula, rho_min=rho_min)
         fn.params = p
+        # Static rebuild recipe for the Pallas adjoint kernel, which
+        # reconstructs the metric inside the kernel from SMEM scalars.
+        fn.kerr_recipe = (r_formula, rho_min)
+        fn.component_major.kerr_recipe = (r_formula, rho_min)
+        fn.component_major.params = p
         return fn
     raise ValueError(f"unknown metric: {name!r}")

@@ -574,9 +574,14 @@ def scene_event_cm(scene, *, literal: bool = False):
     constants (forward render only; the scene must be concrete).
     """
     import numpy as np
-    from ..models.objects import KIND_DISTANCE
 
     kind = np.asarray(scene.kind)  # concrete structure, never traced
+    if literal:
+        # Snapshot values to numpy NOW, outside any trace: inside the
+        # Pallas kernel trace even concrete jnp arrays become tracers when
+        # indexed, so the conversion must happen at build time.
+        snap = {f: np.asarray(getattr(scene, f))
+                for f in ("pos", "radius", "time", "r_in", "r_out", "half")}
 
     def make_get(i):
         """Per-object parameter accessor over THE shared per-kind
@@ -584,16 +589,30 @@ def scene_event_cm(scene, *, literal: bool = False):
         truth): traced scalars normally; python-float literals for the
         Pallas kernel, whose closure must not capture array constants."""
         def get(field, comp=None):
+            if literal:
+                arr = snap[field]
+                return float(arr[i] if comp is None else arr[i, comp])
             arr = getattr(scene, field)
-            v = arr[i] if comp is None else arr[i, comp]
-            return float(np.asarray(v)) if literal else v
+            return arr[i] if comp is None else arr[i, comp]
         return get
+
+    return scene_event_from_get(tuple(int(k) for k in kind), make_get)
+
+
+def scene_event_from_get(kinds, make_get):
+    """min-distance event over THE shared per-kind definitions
+    (models/objects.KIND_DISTANCE), parameterized by an accessor factory:
+    ``make_get(i)(field, comp=None)`` returns object i's parameter as a
+    python float, a traced scalar, or a broadcastable array. Used by
+    scene_event_cm (Scene-backed) and by the Pallas adjoint kernel, whose
+    parameters arrive as SMEM scalars (ops/pallas_adjoint.py)."""
+    from ..models.objects import KIND_DISTANCE
 
     def event(y):
         t, xs, ys, zs = y[0], y[1], y[2], y[3]
         d = None
-        for i in range(kind.shape[0]):
-            di = KIND_DISTANCE[int(kind[i])](t, xs, ys, zs, make_get(i))
+        for i, k in enumerate(kinds):
+            di = KIND_DISTANCE[int(k)](t, xs, ys, zs, make_get(i))
             d = di if d is None else jnp.minimum(d, di)
         return d
 

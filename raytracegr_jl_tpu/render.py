@@ -125,8 +125,37 @@ def _trace_differentiable_cm(metric_cm, scene: Scene, y0: jax.Array,
                                       scene_event_cm)
 
     event = scene_event_cm(scene)
-    if integ.grad_mode == "scan":
+    mode = integ.grad_mode
+    if mode == "auto":
+        on_tpu = jax.devices()[0].platform == "tpu"
+        mode = ("ckpt_pallas"
+                if on_tpu and getattr(metric_cm, "kerr_recipe", None)
+                else "ckpt")
+    if mode == "scan":
         return integrate_rays_cm_scan(metric_cm, event, y0, dt0, integ)
+    if mode == "ckpt_pallas":
+        # Fused Pallas backward (ops/pallas_adjoint.py): needs the static
+        # Kerr rebuild recipe; other metrics fall through to the XLA bwd.
+        if getattr(metric_cm, "kerr_recipe", None) is not None:
+            from .ops.pallas_adjoint import integrate_rays_cm_ckpt_pallas
+
+            def run(yy, dd):
+                return integrate_rays_cm_ckpt_pallas(
+                    metric_cm, scene, yy, dd, integ,
+                    seg_len=integ.grad_seg_len,
+                    interpret=jax.devices()[0].platform != "tpu")
+
+            if not integ.sort_rays:
+                return run(y0, dt0)
+            # Impact-parameter sorting clusters long-lived rays into few
+            # tiles, so the backward kernel's per-tile segment skipping
+            # actually fires; results bitwise identical (lane
+            # independence), gradients flow through the gathers.
+            order, inv = impact_parameter_order(y0)
+            res = run(y0[order], dt0[order])
+            return TraceResult(y=res.y[inv], lam=res.lam[inv],
+                               hit=res.hit[inv], steps=res.steps[inv],
+                               n_iters=res.n_iters)
 
     def integrate(yy, dd):
         return integrate_rays_cm_ckpt(metric_cm, event, yy, dd, integ,

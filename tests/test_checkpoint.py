@@ -8,6 +8,7 @@ shot); this is the TPU-pod reality the new framework covers."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracegr_jl_tpu.grad import (InverseParams, default_inverse_cfg,
                                     make_render_for_params)
@@ -29,6 +30,7 @@ def _setup(dtype):
     return spec, cfg, target, init
 
 
+@pytest.mark.heavy
 def test_preempted_fit_resumes_bit_identical(tmp_path):
     """fit(12) -> orbax checkpoint -> restore -> fit(12, opt_state=...)
     equals fit(24) exactly: same final params, same loss tail."""

@@ -10,6 +10,7 @@ multi-chunk stragglers all present), plus the renderer-level wrapper.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracegr_jl_tpu import IntegratorConfig, RenderConfig, trace_rays
 from raytracegr_jl_tpu.compaction import (render_compacted,
@@ -30,6 +31,7 @@ def _setup(n=48):
 
 
 class TestCompaction:
+    @pytest.mark.heavy
     def test_bitwise_equals_single_launch(self):
         metric, scene, canvas, y0, cfg = _setup()
         mcm = _metric_cm_of(metric)
@@ -45,6 +47,7 @@ class TestCompaction:
         np.testing.assert_array_equal(np.asarray(a.steps),
                                       np.asarray(b.steps))
 
+    @pytest.mark.heavy
     def test_render_compacted_matches_backend_pallas(self):
         metric, scene, canvas, y0, cfg = _setup(32)
         rc = RenderConfig(integrator=cfg, backend="pallas",
@@ -54,6 +57,7 @@ class TestCompaction:
                                interpret=True)
         np.testing.assert_array_equal(np.asarray(out.rgb), rgb_p)
 
+    @pytest.mark.heavy
     def test_max_steps_budget_respected(self):
         """Total iterations across chunks cap at cfg.max_steps: rays that
         would need more stay un-hit, exactly like the single launch."""

@@ -12,6 +12,7 @@ interior event minima so such hits are caught.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracegr_jl_tpu import (IntegratorConfig, Plane, RenderConfig, Sphere,
                                make_metric, make_scene)
@@ -89,6 +90,7 @@ class TestGrazingDetection:
         got = self._trace(y0, refine=False)
         assert not got.all()
 
+    @pytest.mark.heavy
     def test_cm_backend_matches(self):
         y0 = _grazing_rays(32)
         a = self._trace(y0, refine=True, backend="xla")

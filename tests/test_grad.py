@@ -32,6 +32,7 @@ def test_loss_zero_at_truth(setup):
     assert float(loss(params0)) == 0.0
 
 
+@pytest.mark.heavy
 def test_grads_finite_and_nonzero(setup):
     spec, cfg, params0, render, target = setup
     loss = make_loss_fn(spec, target, cfg, dtype=jnp.float64)
@@ -41,6 +42,7 @@ def test_grads_finite_and_nonzero(setup):
     assert abs(float(g.M)) > 0
 
 
+@pytest.mark.heavy
 def test_mass_gradient_matches_finite_difference(setup):
     """d(loss)/dM via reverse mode == central finite differences. Smooth
     because the image is compared in the interior (away from a discrete
@@ -88,6 +90,7 @@ class TestF32Gradients:
         loss = make_loss_fn(spec, target, cfg, sphere_index=2, dtype=dtype)
         return params, loss
 
+    @pytest.mark.heavy
     def test_f32_plunge_grads_finite_and_nonzero(self):
         params, loss = self._setup(jnp.float32)
         l, g = jax.jit(jax.value_and_grad(loss))(params)
@@ -97,6 +100,7 @@ class TestF32Gradients:
         assert np.all(np.isfinite(np.asarray(g.sphere_pos)))
         assert abs(float(g.M)) > 0
 
+    @pytest.mark.heavy
     def test_f32_matches_f64_and_f64_matches_fd(self):
         """Soft shading (smooth loss): f64 AD == f64 central differences,
         and f32 AD tracks f64 AD — the full FD-chain for the TPU dtype."""
@@ -138,6 +142,7 @@ class TestF32Gradients:
         assert float(g32.M) * float(g64.M) > 0
 
 
+@pytest.mark.heavy
 def test_soft_gradients_point_toward_truth():
     """Inverse-rendering signal check (flat space, soft shading + smooth
     colors): the pixel-loss gradient w.r.t. the sphere's z offset has the

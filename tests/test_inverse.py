@@ -3,6 +3,7 @@ benchmarks/; CI keeps them tiny)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from raytracegr_jl_tpu.grad import InverseParams, default_inverse_cfg, \
     make_render_for_params
@@ -29,6 +30,7 @@ def test_fit_runs_and_tracks_history():
     assert float(res.loss) <= float(res.loss_history[0]) + 1e-12
 
 
+@pytest.mark.heavy
 def test_fit_recovers_m_and_z():
     """End-to-end inversion demo (BASELINE config 5, VERDICT r2 item 5):
     gradient descent through the full differentiable pipeline recovers the

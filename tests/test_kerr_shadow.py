@@ -103,11 +103,13 @@ def _measure_edges(a: float, dtype=jnp.float64, backend="xla", ni=192):
 
 
 class TestKerrShadow:
+    @pytest.mark.heavy
     def test_schwarzschild_shadow_diameter(self):
         want = shadow_edges_analytic(1.0, 0.0)
         got = _measure_edges(0.0, ni=128)
         np.testing.assert_allclose(got, want, rtol=0.05)
 
+    @pytest.mark.heavy
     def test_spinning_a08_shadow_edges(self):
         """a = 0.8: asymmetric shadow, prograde edge ~3.29 M, retrograde
         ~6.66 M — impossible to fake with a = 0 (symmetric 5.196 M)."""
@@ -116,11 +118,13 @@ class TestKerrShadow:
         got = _measure_edges(0.8)
         np.testing.assert_allclose(got, want, rtol=0.05)
 
+    @pytest.mark.heavy
     def test_backends_agree_a08(self):
         e_xla = _measure_edges(0.8, backend="xla", ni=128)
         e_cm = _measure_edges(0.8, backend="xla_cm", ni=128)
         np.testing.assert_allclose(e_cm, e_xla, rtol=1e-3)
 
+    @pytest.mark.heavy
     def test_f32_matches_f64_structurally(self):
         e64 = _measure_edges(0.8, dtype=jnp.float64, ni=128)
         e32 = _measure_edges(0.8, dtype=jnp.float32, ni=128)

@@ -21,6 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+@pytest.mark.heavy
 def test_two_process_train_step():
     worker = os.path.join(os.path.dirname(__file__), "_multihost_worker.py")
     port = _free_port()

@@ -110,6 +110,7 @@ class TestPallasRender:
 
 
 class TestXlaCmBackend:
+    @pytest.mark.heavy
     def test_forward_matches_row_major_f64(self):
         """Component-major XLA driver vs row-major, f64: near-bitwise."""
         spec = example2_spec(12, 8)
@@ -123,6 +124,7 @@ class TestXlaCmBackend:
             RenderConfig(integrator=integ, backend="xla_cm")).rgb)
         np.testing.assert_allclose(rgb_cm, rgb_rm, atol=1e-9)
 
+    @pytest.mark.heavy
     def test_differentiable_cm_scan(self):
         """backend='xla_cm' + differentiable routes to the reverse-capable
         cm scan and yields finite parameter gradients. Was @slow in rounds

@@ -165,6 +165,7 @@ class TestGFactor:
 
 
 class TestRedshiftRender:
+    @pytest.mark.heavy
     def test_disk_render_brightness_asymmetry(self):
         """Small end-to-end redshift render: finite, non-empty, and the
         approaching (-x) half outshines the receding (+x) half."""

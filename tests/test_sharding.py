@@ -68,6 +68,7 @@ def _inversion_setup(mesh, dtype, **cfg_kw):
     return loss, params0, batch_s, (xg, ng, target)
 
 
+@pytest.mark.heavy
 def test_sharded_value_and_grad(mesh):
     """Replicated params, sharded pixel batch: loss+grads match the
     unsharded computation (the grad psum is inserted by XLA)."""
@@ -80,6 +81,7 @@ def test_sharded_value_and_grad(mesh):
     np.testing.assert_allclose(float(g_sh.M), float(g_ref.M), rtol=1e-10)
 
 
+@pytest.mark.heavy
 def test_sharded_value_and_grad_f32(mesh):
     """The TPU compute dtype end-to-end on the mesh: finite loss AND finite
     (M, a) grads with rays plunging inside rho ~ 3 (the round-1
@@ -97,6 +99,7 @@ def test_sharded_value_and_grad_f32(mesh):
     np.testing.assert_allclose(float(g_sh.M), float(g_ref.M), rtol=1e-3)
 
 
+@pytest.mark.heavy
 def test_sharded_grad_actually_partitions(mesh):
     """The anti-replication regression test (VERDICT r2 weak #1): value
     agreement alone cannot distinguish a sharded program from a replicated
@@ -128,6 +131,7 @@ def test_sharded_grad_actually_partitions(mesh):
         f"(expected <= {1.5 / n:.3f}): devices do redundant work")
 
 
+@pytest.mark.heavy
 def test_shard_pixels_pads_nondivisible(mesh):
     """ni not divisible by the mesh size: shard_pixels pads by replicating
     the last row; crop_rows restores the logical shape; results match the
