@@ -53,6 +53,21 @@ def main():
         print(f"run {run + 1} ({label}): {dt:.3f}s "
               f"= {args.n * args.n / dt:,.0f} rays/s")
 
+    # Structured per-render observability (utils/stats.py) — hit/killed
+    # classification + the step-count distribution that governs divergence
+    # cost on TPU tiles.
+    import json
+
+    from raytracegr_jl_tpu.render import trace_batch
+    from raytracegr_jl_tpu.utils.stats import trace_stats
+
+    y0 = jnp.concatenate([canvas.pos, canvas.normal], -1).reshape(-1, 8)
+    t0 = time.perf_counter()
+    res = jax.block_until_ready(
+        jax.jit(lambda y: trace_batch(metric, scene, y, cfg))(y0))
+    print(json.dumps(trace_stats(res, wall_s=time.perf_counter() - t0,
+                                 cfg=cfg.integrator)))
+
 
 if __name__ == "__main__":
     main()

@@ -16,11 +16,12 @@ Architecture (host-in-the-loop, forward-only):
     is bit-identical whether it runs 20k iterations in one launch or
     across many.
   * driver ``trace_batch_compacted``: sorts by impact parameter, launches a
-    chunk, reads back the active mask (one device->host sync per chunk),
-    packs active lanes to the front, shrinks the batch to half-sized
-    buckets (so only log2 distinct shapes ever compile), and relaunches
-    with a doubling iteration budget. Results are scattered back to camera
-    order at the end.
+    chunk, syncs ONLY the active-lane count to the host (all result
+    scatter and lane packing stay on device — pulling per-chunk results
+    through the tunneled chip measurably ate the whole win), shrinks the
+    batch to at-least-halved buckets (so only ~log2 distinct shapes ever
+    compile), and relaunches with a doubling iteration budget. Results are
+    gathered back to camera order at the end.
 
 Chunk boundaries, lane packing, and bucket padding are all invisible to
 the per-ray math (lane independence — the property sort_rays regression-

@@ -92,3 +92,33 @@ class TestExample2Structure:
         assert rgb.min() >= 0.0 and rgb.max() <= 1.0
         # some rays hit the sky sphere (blue=1/3) — the scene isn't all-red
         assert (rgb[..., 2] > 0.2).any()
+
+
+def test_trace_stats_classification():
+    """utils/stats.py: per-render observability record (SURVEY §5 item the
+    reference lacks entirely). Classification must partition the batch."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from raytracegr_jl_tpu import IntegratorConfig, RenderConfig
+    from raytracegr_jl_tpu.models.scenes import build, example2_spec
+    from raytracegr_jl_tpu.render import trace_batch
+    from raytracegr_jl_tpu.utils.stats import trace_stats
+
+    spec = example2_spec(12, 12)
+    metric, scene, canvas = build(spec, jnp.float32)
+    y0 = jnp.concatenate([canvas.pos, canvas.normal], -1).reshape(-1, 8)
+    integ = IntegratorConfig(method="tsit5", rtol=3e-6, atol=3e-6,
+                             max_steps=600, stop_rho=0.5)
+    res = trace_batch(metric, scene, y0, RenderConfig(integrator=integ))
+    s = trace_stats(res, wall_s=1.0, cfg=integ)
+    assert s["rays"] == 144
+    np.testing.assert_allclose(
+        s["hit_frac"] + s["escaped_frac"] + s["killed_frac"], 1.0,
+        atol=1e-9)
+    assert s["hit_frac"] > 0.5  # most example2 rays hit something
+    assert s["steps_p50"] <= s["steps_p99"] <= s["steps_max"]
+    assert s["rays_per_s"] == 144.0
+    assert s["method"] == "tsit5"
+    import json
+    json.dumps(s)  # fully JSON-serializable
