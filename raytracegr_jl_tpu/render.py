@@ -65,7 +65,6 @@ def trace_batch(metric: MetricFn, scene: Scene, y0: jax.Array,
     if cfg.backend in ("pallas", "xla_cm"):
         from .ops.integrate import hairer_init_dt
         from .ops.pallas_geodesic import (integrate_rays_cm,
-                                          integrate_rays_cm_scan,
                                           integrate_rays_pallas,
                                           scene_event_cm)
 
