@@ -61,6 +61,7 @@ def test_preempted_fit_resumes_bit_identical(tmp_path):
                                   np.asarray(full.loss_history[12:]))
 
 
+@pytest.mark.heavy
 def test_checkpoint_roundtrip_preserves_opt_state_structure(tmp_path):
     """The orbax round-trip preserves the optax state pytree (nested
     NamedTuples of arrays) well enough to keep optimizing — structure

@@ -27,7 +27,9 @@ GOLDEN_CFG = RenderConfig(integrator=IntegratorConfig(
 
 @pytest.mark.parametrize("name,spec_fn", [
     ("golden64_e1", example1_spec),
-    ("golden64_e2", example2_spec),
+    # Kerr-Schild at f64 golden tolerance is ~24 s CPU: heavy tier (CI
+    # runs it every push; example1 keeps golden coverage in the default).
+    pytest.param("golden64_e2", example2_spec, marks=pytest.mark.heavy),
 ])
 def test_own_golden_regression(name, spec_fn):
     canvas = render_spec(spec_fn(64, 64), jnp.float64, GOLDEN_CFG)

@@ -65,6 +65,7 @@ class TestGoldenRegression:
 
 
 class TestTsit5VsRk4:
+    @pytest.mark.heavy
     def test_flat_space_agree(self):
         """In Minkowski, adaptive Tsit5 and fixed RK4 must give the same
         image (rays are straight lines either way)."""
@@ -94,6 +95,7 @@ class TestExample2Structure:
         assert (rgb[..., 2] > 0.2).any()
 
 
+@pytest.mark.heavy
 def test_trace_stats_classification():
     """utils/stats.py: per-render observability record (SURVEY §5 item the
     reference lacks entirely). Classification must partition the batch."""
