@@ -189,7 +189,11 @@ def fwd_bwd_rays_per_s(n: int = 200, steps: int = 200, method: str = "rk4"):
             return None
         # Sustained: pipeline the dispatches like a real training loop
         # (Adam steps chain on device; the host round-trip overlaps).
-        PIPE = 6
+        # Depth 12 + a pipelined warm-up: at ~13 ms/step the ~20 ms tunnel
+        # round-trip needs a few in-flight steps to amortize, and shallow
+        # queues jitter the measurement by ~5%.
+        jax.block_until_ready([step(p, xg, ng, target) for _ in range(3)])
+        PIPE = 12
         t0 = _time.perf_counter()
         outs = [step(p, xg, ng, target) for _ in range(PIPE)]
         jax.block_until_ready(outs)

@@ -22,13 +22,16 @@ M and a, scene poses). ``jax.closure_convert`` hoists them into explicit
 ``consts`` arguments so the custom_vjp can route their cotangents — the
 same pattern jax's own ``odeint`` uses.
 
-Divergence handling: callers split the ray batch into ``grad_groups``
+Divergence handling: callers may split the ray batch into ``grad_groups``
 chunks SORTED by impact parameter (render.trace_batch), so each chunk's
-while_loop runs only as long as its own slowest ray — short-lived chunks
-stop paying for photon-ring stragglers on both passes (measured relative
-cost ~0.40 at 8 groups vs the always-max_steps scan). Per-ray arithmetic
-is lane-independent, so grouping+sorting leaves results bitwise identical
-(same property sort_rays relies on; regression-tested).
+while_loop runs only as long as its own slowest ray. Results are bitwise
+identical to ungrouped (lane independence — the property sort_rays relies
+on; regression-tested). MEASURED CAVEAT: on the tunneled single v5e the
+XLA path is launch-overhead-bound, and 8 smaller sequential groups ran
+~30% SLOWER than one batch despite the ~0.40 theoretical work ratio —
+grouping therefore defaults OFF (grad_groups=1); the per-TILE segment
+skipping in the fused Pallas backward (ops/pallas_adjoint.py) is the
+mechanism that actually collects the divergence win.
 
 Event localization happens OUTSIDE the loop (localize_events_cm), so hit
 positions get exact IFT/Newton gradients through plain AD of the epilogue
