@@ -81,7 +81,8 @@ def clamped_rho2(rho2_raw: jax.Array, a, rho_min: float,
 
 
 def kerr_schild_radius(
-    rho2: jax.Array, z: jax.Array, a, *, r_formula: str = R_AS_WRITTEN
+    rho2: jax.Array, z: jax.Array, a, *, r_formula: str = R_AS_WRITTEN,
+    rho_min: float = 0.0,
 ) -> jax.Array:
     """Boyer-Lindquist-like radius r(x) used by the Kerr-Schild form.
 
@@ -91,6 +92,15 @@ def kerr_schild_radius(
 
     ``rho2`` must already be clamped via ``clamped_rho2`` (the as_written
     branch assumes ``rho2 >= a^2``).
+
+    ``rho_min > 0`` additionally floors the TEXTBOOK branch away from the
+    RING singularity (z = 0, rho = |a|), where r = 0 exactly: k3 = z/r is
+    then 0/0 = NaN — a primal NaN that poisons whole-batch parameter
+    cotangents via 0*NaN even for masked lanes (zero-state padding lanes
+    land there for any a > rho_min). Floors: inner >= rho_min^2/2 and
+    r^2 >= rho_min^2, i.e. r >= rho_min — exactly the spirit of the
+    coordinate-origin clamp, and value-identical everywhere farther than
+    ~rho_min from the ring (which is inside the horizon for |a| < M).
     """
     half = (rho2 - a * a) / 2
     inner = jnp.sqrt(a * a * z * z + half * half)
@@ -100,12 +110,17 @@ def kerr_schild_radius(
         # sqrt around the whole sum is missing. For a=0: r = rho/2 + rho^2/2.
         return jnp.sqrt(rho2 - a * a) / 2 + inner
     elif r_formula == R_TEXTBOOK:
+        if rho_min > 0.0:
+            eps2 = rho_min * rho_min
+            inner = jnp.maximum(inner, eps2 / 2)
+            return jnp.sqrt(jnp.maximum(half + inner, eps2))
         return jnp.sqrt(half + inner)
     raise ValueError(f"unknown r_formula: {r_formula!r}")
 
 
 def kerr_schild_radius_partials(rho2: jax.Array, z: jax.Array, a,
-                                *, r_formula: str = R_AS_WRITTEN):
+                                *, r_formula: str = R_AS_WRITTEN,
+                                rho_min: float = 0.0):
     """``(r, dr/du, dr/dw)`` with u = rho2 and w = the EXPLICIT z-dependence
     (through ``inner``/``k3``), for the hand-derived analytic tangents of the
     component-major metric (ops/pallas_geodesic.py dlist_fn / ks_parts —
@@ -113,17 +128,27 @@ def kerr_schild_radius_partials(rho2: jax.Array, z: jax.Array, a,
 
     ``rho2`` must be pre-clamped via ``clamped_rho2``: the as_written branch
     keeps ``s = sqrt(rho2 - a^2) >= rho_min``, which also bounds ``0.25/s``.
+    ``rho_min`` floors the textbook ring singularity (see
+    kerr_schild_radius); at floored points the hand-derived partials are
+    inexact but BOUNDED — those points are causally irrelevant garbage
+    states, and bounded-wrong beats NaN (0*NaN poisons batch cotangents).
     """
     half = (rho2 - a * a) / 2
     inner = jnp.sqrt(a * a * z * z + half * half)
-    inv_inner = 1.0 / inner
     if r_formula == R_AS_WRITTEN:
+        inv_inner = 1.0 / inner
         s = jnp.sqrt(rho2 - a * a)
         r = s / 2 + inner
         dr_du = 0.25 / s + 0.5 * half * inv_inner
         dr_dw = a * a * z * inv_inner
     elif r_formula == R_TEXTBOOK:
-        r = jnp.sqrt(half + inner)
+        if rho_min > 0.0:
+            eps2 = rho_min * rho_min
+            inner = jnp.maximum(inner, eps2 / 2)
+            r = jnp.sqrt(jnp.maximum(half + inner, eps2))
+        else:
+            r = jnp.sqrt(half + inner)
+        inv_inner = 1.0 / inner
         inv_2r = 0.5 / r
         dr_du = (0.5 + 0.5 * half * inv_inner) * inv_2r
         dr_dw = (a * a * z * inv_inner) * inv_2r
@@ -161,7 +186,8 @@ def kerr_schild(
     xs, ys, zs = x[..., 1], x[..., 2], x[..., 3]
     rho2 = xs * xs + ys * ys + zs * zs
     rho2 = clamped_rho2(rho2, a, rho_min, r_formula)
-    r = kerr_schild_radius(rho2, zs, a, r_formula=r_formula)
+    r = kerr_schild_radius(rho2, zs, a, r_formula=r_formula,
+                           rho_min=rho_min)
     r2 = r * r
     f = 2 * M * (r * r2) / (r2 * r2 + a * a * zs * zs)
 

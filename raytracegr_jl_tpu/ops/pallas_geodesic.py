@@ -330,7 +330,8 @@ def kerr_schild_cm(params, r_formula: str, rho_min: float = 1e-3):
         xs, ys, zs = xl[1], xl[2], xl[3]
         rho2 = xs * xs + ys * ys + zs * zs
         rho2 = clamped_rho2(rho2, a, rho_min, r_formula)
-        r = kerr_schild_radius(rho2, zs, a, r_formula=r_formula)
+        r = kerr_schild_radius(rho2, zs, a, r_formula=r_formula,
+                               rho_min=rho_min)
         r2 = r * r
         f = 2 * M * (r * r2) / (r2 * r2 + a * a * zs * zs)
         denom = r2 + a * a
@@ -360,7 +361,7 @@ def kerr_schild_cm(params, r_formula: str, rho_min: float = 1e-3):
         live = rho2_raw >= rho2  # clamped points: d(rho2)/dx = 0
         # r and its partials w.r.t. u = rho2 and (explicit) w = z.
         r, dr_du, dr_dw = kerr_schild_radius_partials(
-            rho2, zs, a, r_formula=r_formula)
+            rho2, zs, a, r_formula=r_formula, rho_min=rho_min)
         r2 = r * r
         q = r2 * r2 + a * a * zs * zs
         f = 2 * M * (r * r2) / q
@@ -427,7 +428,8 @@ def kerr_schild_cm(params, r_formula: str, rho_min: float = 1e-3):
         xs, ys, zs = xl[1], xl[2], xl[3]
         rho2 = clamped_rho2(xs * xs + ys * ys + zs * zs, a, rho_min,
                             r_formula)
-        r = kerr_schild_radius(rho2, zs, a, r_formula=r_formula)
+        r = kerr_schild_radius(rho2, zs, a, r_formula=r_formula,
+                               rho_min=rho_min)
         r2 = r * r
         f = 2 * M * (r * r2) / (r2 * r2 + a * a * zs * zs)
         denom = r2 + a * a
@@ -468,7 +470,7 @@ def kerr_schild_cm(params, r_formula: str, rho_min: float = 1e-3):
         rho2 = clamped_rho2(rho2_raw, a, rho_min, r_formula)
         live = rho2_raw >= rho2
         r, dr_du, dr_dw = kerr_schild_radius_partials(
-            rho2, zs, a, r_formula=r_formula)
+            rho2, zs, a, r_formula=r_formula, rho_min=rho_min)
         r2 = r * r
         q = r2 * r2 + a * a * zs * zs
         inv_q = 1.0 / q

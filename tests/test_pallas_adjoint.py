@@ -82,3 +82,46 @@ def test_pallas_adjoint_rk4_matches_fd():
     fd = (loss(jnp.asarray(1.05 + eps)) - loss(jnp.asarray(1.05 - eps))) \
         / (2 * eps)
     np.testing.assert_allclose(float(gM), float(fd), rtol=1e-5)
+
+
+@pytest.mark.heavy
+def test_pallas_adjoint_spinning_textbook():
+    """a != 0 exercises the full spin branches of the in-kernel metric
+    rebuild AND the round-4 ring-singularity floor: zero-state padding
+    lanes sit exactly on the textbook ring (z=0, rho=|a| after clamping)
+    where r was 0 and k3 = z/r = 0/0 = NaN — a primal NaN whose 0*NaN
+    products poisoned the kernel's (M, a) cotangent sums."""
+    dtype = jnp.float64
+    spec = example2_spec(16, 16)
+    _, scene, canvas = build(spec, dtype)
+    y0 = jnp.concatenate([canvas.pos, canvas.normal], -1).reshape(-1, 8)
+    dt0 = jnp.full(y0.shape[:1], 0.4, dtype)
+    cfg = default_inverse_cfg(dtype, max_steps=6, method="tsit5",
+                              stop_rho=0.0).integrator
+
+    def loss_of(mode):
+        def loss(Ma):
+            M, a = Ma
+            metric = make_metric("kerr_schild", KerrSchildParams(M=M, a=a),
+                                 r_formula="textbook", rho_min=0.25)
+            mcm = metric.component_major
+            if mode == "pallas":
+                res = integrate_rays_cm_ckpt_pallas(
+                    mcm, scene, y0, dt0, cfg, seg_len=2, interpret=True)
+            else:
+                res = integrate_rays_cm_ckpt(
+                    mcm, scene_event_cm(scene), y0, dt0, cfg, seg_len=2)
+            return jnp.sum(res.y[:, :4] ** 2) * 1e-3
+
+        return loss
+
+    vals = {}
+    for mode in ["xla", "pallas"]:
+        l, g = jax.value_and_grad(loss_of(mode))(
+            (jnp.asarray(1.05, dtype), jnp.asarray(0.3, dtype)))
+        vals[mode] = (float(l), float(g[0]), float(g[1]))
+    assert np.isfinite(vals["pallas"][1]) and np.isfinite(vals["pallas"][2])
+    np.testing.assert_allclose(vals["pallas"][0], vals["xla"][0], rtol=1e-12)
+    # per-tile vs global cotangent summation order: ~1e-7..1e-6 relative
+    np.testing.assert_allclose(vals["pallas"][1], vals["xla"][1], rtol=1e-5)
+    np.testing.assert_allclose(vals["pallas"][2], vals["xla"][2], rtol=1e-5)
