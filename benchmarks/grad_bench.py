@@ -66,9 +66,18 @@ def main():
         jax.block_until_ready(step(p))
         times.append(time.perf_counter() - t0)
     best = min(times)
+    # Sustained: pipeline dispatches like a training loop (bench.py
+    # methodology — the tunneled chip's ~20 ms round-trip otherwise
+    # dominates a ~13 ms step).
+    jax.block_until_ready([step(p) for _ in range(3)])
+    PIPE = 12
+    t0 = time.perf_counter()
+    jax.block_until_ready([step(p) for _ in range(PIPE)])
+    sustained = PIPE * args.n * args.n / (time.perf_counter() - t0)
     n_rays = args.n * args.n
     print(f"fwd+bwd {args.n}x{args.n} ({args.steps} steps, {args.backend}): "
-          f"{best * 1e3:.1f} ms/step, {n_rays / best:,.0f} rays/s, "
+          f"blocked {best * 1e3:.1f} ms/step ({n_rays / best:,.0f} rays/s), "
+          f"sustained {sustained:,.0f} rays/s, "
           f"loss={float(loss):.3e}, dL/dM={float(g.M):+.3e}")
 
 
