@@ -245,3 +245,40 @@ def test_f32_pose_gradient_matches_f64_tight():
     assert abs(g64[2]) > 0
     np.testing.assert_allclose(g32[2], g64[2], rtol=0.05)
     np.testing.assert_allclose(g32[1], g64[1], rtol=0.05, atol=1e-7)
+
+
+@pytest.mark.heavy
+def test_ckpt_gradients_match_scan_oracle():
+    """VERDICT r3 item 1 done-criterion: the checkpointed custom-VJP path
+    (the production default) against the rematerialized-scan oracle.
+    Primals are bitwise identical (same step body; skipped trailing
+    iterations are identity on an all-inactive state). Gradients agree to
+    the level the scan path agrees with ITSELF across compilations: the
+    remat'd value_and_grad graph of the scan perturbs its own primal by
+    fusion-level f32/f64 rounding at event thresholds (measured: its
+    plain-eval and grad-eval losses differ in the 3rd digit on this
+    config, while the ckpt path is self-consistent to the bit), so the
+    cross-path gradient bar is 1%."""
+    spec = example2_spec(16, 16)
+    dtype = jnp.float64
+    out = {}
+    for mode in ("scan", "ckpt"):
+        cfg = default_inverse_cfg(dtype, max_steps=24, method="tsit5",
+                                  soft_temp=0.05, stop_rho=0.5)
+        cfg = cfg._replace(
+            integrator=cfg.integrator._replace(grad_mode=mode))
+        truth = InverseParams(M=jnp.asarray(1.0, dtype),
+                              a=jnp.asarray(0.0, dtype),
+                              sphere_pos=jnp.asarray([0., 4., 0., 0.],
+                                                     dtype))
+        p = truth._replace(M=jnp.asarray(1.05, dtype))
+        render = jax.jit(make_render_for_params(spec, cfg, 2, dtype))
+        target = render(truth)
+        loss = make_loss_fn(spec, target, cfg, 2, dtype)
+        l, g = jax.jit(jax.value_and_grad(loss))(p)
+        out[mode] = (np.asarray(target), float(l), float(g.M),
+                     np.asarray(g.sphere_pos))
+    np.testing.assert_array_equal(out["scan"][0], out["ckpt"][0])
+    np.testing.assert_allclose(out["ckpt"][2], out["scan"][2], rtol=1e-2)
+    np.testing.assert_allclose(out["ckpt"][3], out["scan"][3], rtol=1e-2,
+                               atol=1e-12)
