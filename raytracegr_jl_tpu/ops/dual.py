@@ -280,18 +280,26 @@ def hash_dual(x: Dual) -> jax.Array:
     ``hash(0xdccda268, hash(x.val, hash(x.eps, h)))``). Bit-level recipe
     differs (Julia's Base.hash is not specified cross-language); the
     CONTRACT matches: equal (val, eps) pairs hash equal, and the hash
-    depends on both components."""
+    depends on both components. Implemented as 32-bit FNV-1a over the
+    component bit patterns (f64 folds as two 32-bit words), so it works
+    under the default f32/TPU config with x64 disabled."""
     from jax import lax
 
-    def mix(h, v):
-        bits = lax.bitcast_convert_type(
-            v.astype(jnp.float64), jnp.uint64) if v.dtype != jnp.uint64 else v
-        return (h ^ bits) * jnp.uint64(0x100000001B3)  # FNV-1a step
+    prime = jnp.uint32(0x01000193)  # 32-bit FNV prime
 
-    h = jnp.full(x.val.shape, 0xdccda268, jnp.uint64)
+    def words(v):
+        if v.dtype.itemsize == 4:
+            return [lax.bitcast_convert_type(v, jnp.uint32)]
+        w = lax.bitcast_convert_type(v, jnp.uint32)  # shape + (itemsize/4,)
+        return [w[..., i] for i in range(v.dtype.itemsize // 4)]
+
+    h = jnp.full(x.val.shape, 0xdccda268, jnp.uint32)
     for i in range(x.eps.shape[-1]):
-        h = mix(h, x.eps[..., i])
-    return mix(h, x.val)
+        for w in words(x.eps[..., i]):
+            h = (h ^ w) * prime
+    for w in words(x.val):
+        h = (h ^ w) * prime
+    return h
 
 
 def isequal(a: Dual, b: Dual) -> jax.Array:
@@ -358,7 +366,15 @@ def kerr_schild_dual(x: Dual, M=1.0, a=0.0, *,
     if r_formula == "as_written":
         r = sqrt(rho2 - a * a) / 2.0 + inner
     else:
-        r = sqrt(half + inner)
+        # Mirror kerr_schild_radius's textbook ring-singularity floor
+        # (inner >= rho_min^2/2, r^2 >= rho_min^2) so oracle and
+        # production agree within ~rho_min of the ring for a != 0 too.
+        if rho_min > 0.0:
+            eps2 = rho_min * rho_min
+            inner = clamp_min(inner, eps2 / 2.0)
+            r = sqrt(clamp_min(half + inner, eps2))
+        else:
+            r = sqrt(half + inner)
     r2 = r * r
     f = (2.0 * M) * (r * r2) / (r2 * r2 + (a * a) * (zs * zs))
     one = constant(jnp.ones_like(x.val[..., 0]), k)

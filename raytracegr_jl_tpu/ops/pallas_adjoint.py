@@ -175,8 +175,8 @@ def _run(build, build_seg, seg_len: int, n_seg: int, n_params: int,
         return s + 1, _fwd_seg_launch(build_seg, seg_len, n_params,
                                       interpret, pvec, st)
 
-    _, st = lax.while_loop(cond, step, (jnp.zeros((), jnp.int32), st13))
-    return st
+    n_used, st = lax.while_loop(cond, step, (jnp.zeros((), jnp.int32), st13))
+    return st, n_used
 
 
 def _run_fwd(build, build_seg, seg_len, n_seg, n_params, interpret, pvec,
@@ -197,12 +197,13 @@ def _run_fwd(build, build_seg, seg_len, n_seg, n_params, interpret, pvec,
 
     n_used, st, ck = lax.while_loop(
         cond, step, (jnp.zeros((), jnp.int32), st13, ck0))
-    return st, (ck, pvec)
+    return (st, n_used), (ck, pvec)
 
 
 def _run_bwd(build, build_seg, seg_len, n_seg, n_params, interpret, res,
              ct):
     ck, pvec = res
+    ct = ct[0]  # cotangent of st13; the n_used counter's is symbolic zero
     R = ck[1].shape[1]
     dtype = ck[0].dtype
     n_tiles = R // TILE_S
@@ -309,6 +310,16 @@ def integrate_rays_cm_ckpt_pallas(metric_cm, scene, y0: jax.Array,
     """
     r_formula, rho_min = metric_cm.kerr_recipe
     pvec, kinds = flatten_params(metric_cm, scene)
+    if int(pvec.shape[0]) > LANES:
+        # The backward kernel scatters the P parameter cotangents into one
+        # 128-lane row; more objects than fit (P = 2 + 8*n_objects > LANES,
+        # i.e. > 15 objects) must use the XLA ckpt path
+        # (render._trace_differentiable_cm routes there automatically).
+        raise ValueError(
+            f"pallas adjoint supports at most {LANES} differentiable "
+            f"parameters (= {(LANES - 2) // len(_OBJ_FIELDS)} objects); "
+            f"scene has {len(kinds)} objects -> {int(pvec.shape[0])} params. "
+            "Use grad_mode='ckpt' (XLA backward) for larger scenes.")
 
     B = y0.shape[0]
     dtype = y0.dtype
@@ -343,8 +354,8 @@ def integrate_rays_cm_ckpt_pallas(metric_cm, scene, y0: jax.Array,
                         st14[8].astype(dtype)) + st14[9:])
     st13 = _to13(st14)
 
-    st = _run(build, build_seg, seg_len, n_seg, n_params, interpret, pvec,
-              st13)
+    st, n_used = _run(build, build_seg, seg_len, n_seg, n_params, interpret,
+                      pvec, st13)
 
     # Dead-ray cotangent cutoff: killed rays only (see
     # adjoint.integrate_rays_cm_ckpt for the full rationale) — truncated
@@ -373,5 +384,9 @@ def integrate_rays_cm_ckpt_pallas(metric_cm, scene, y0: jax.Array,
         lam=lam.reshape(Bp)[:B],
         hit=(st[5] > 0).reshape(Bp)[:B],
         steps=st[6].astype(jnp.int32).reshape(Bp)[:B],
-        n_iters=jnp.zeros((), jnp.int32),
+        # Each segment kernel resets its in-kernel iteration counter, so the
+        # exact loop_iters total is unavailable on this path; report the
+        # tight upper bound segments_run * seg_len (exact when no tile
+        # exits a segment early) so utils/stats doesn't read "no work done".
+        n_iters=n_used * seg_len,
     )

@@ -135,7 +135,15 @@ def _trace_differentiable_cm(metric_cm, scene: Scene, y0: jax.Array,
     if mode == "ckpt_pallas":
         # Fused Pallas backward (ops/pallas_adjoint.py): needs the static
         # Kerr rebuild recipe; other metrics fall through to the XLA bwd.
-        if getattr(metric_cm, "kerr_recipe", None) is not None:
+        # Scenes whose flattened parameter vector exceeds the kernel's
+        # 128-lane cotangent row (> 15 objects) also fall back to the XLA
+        # backward rather than silently dropping parameter gradients.
+        from .ops.pallas_adjoint import _OBJ_FIELDS
+        from .ops.pallas_geodesic import LANES
+
+        n_params = 2 + len(_OBJ_FIELDS) * int(scene.kind.shape[0])
+        if (getattr(metric_cm, "kerr_recipe", None) is not None
+                and n_params <= LANES):
             from .ops.pallas_adjoint import integrate_rays_cm_ckpt_pallas
 
             def run(yy, dd):

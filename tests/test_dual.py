@@ -234,3 +234,49 @@ def test_hash_isequal_contract():
     assert bool(jnp.all(ha == hb))
     assert bool(ha[1] != hc[1])  # eps difference changes the hash
     assert bool(ha[0] == hc[0])  # elementwise: untouched lane unchanged
+
+
+def test_hash_dual_without_x64():
+    """ADVICE r4: hash_dual must work under the production TPU config
+    (x64 disabled => f32 values, no uint64); the FNV mix runs in uint32."""
+    assert jax.config.jax_enable_x64  # CPU suite default; restore below
+    jax.config.update("jax_enable_x64", False)
+    try:
+        a = Dual(jnp.array([1.0, 2.0], jnp.float32),
+                 jnp.array([[0.1, 0.2], [0.3, 0.4]], jnp.float32))
+        b = Dual(jnp.array([1.0, 2.0], jnp.float32),
+                 jnp.array([[0.1, 0.2], [0.3, 0.4]], jnp.float32))
+        c = Dual(jnp.array([1.0, 2.0], jnp.float32),
+                 jnp.array([[0.1, 0.2], [0.3, 0.5]], jnp.float32))
+        ha, hb, hc = du.hash_dual(a), du.hash_dual(b), du.hash_dual(c)
+        assert ha.dtype == jnp.uint32
+        assert bool(jnp.all(ha == hb))
+        assert bool(ha[1] != hc[1])
+        assert bool(ha[0] == hc[0])
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def test_kerr_schild_dual_textbook_ring_floor_matches_production():
+    """ADVICE r4: the textbook branch of the Dual oracle must apply the same
+    rho_min ring-singularity floor as metrics.kerr_schild_radius, so oracle
+    and production agree within ~rho_min of the ring (z=0, rho=|a|) too."""
+    M, a, rho_min = 1.0, 0.8, 0.25  # grad configs use rho_min=0.25
+    # Points on and near the ring singularity for a=0.8.
+    pts = jnp.asarray([
+        [0.0, a, 0.0, 0.0],          # exactly on the ring
+        [0.0, a + 0.05, 0.0, 0.01],  # just outside
+        [0.0, a - 0.05, 0.0, -0.02],  # just inside
+        [0.0, 0.6, 0.5, 0.001],      # near-ring, off-axis
+    ])
+    for x in pts:
+        g1, dg1 = du.dmetric_dual(
+            lambda d: du.kerr_schild_dual(d, M, a, r_formula="textbook",
+                                          rho_min=rho_min), x)
+        g2, dg2 = dmetric(
+            lambda xx: kerr_schild(xx, KerrSchildParams(M, a),
+                                   r_formula="textbook", rho_min=rho_min), x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-12, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(dg1), np.asarray(dg2),
+                                   rtol=1e-10, atol=1e-12)

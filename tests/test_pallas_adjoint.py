@@ -48,6 +48,38 @@ def _loss_of(spec, scene, y0, dt0, cfg, mode, dtype):
     return loss
 
 
+def test_pallas_adjoint_rejects_too_many_params():
+    """ADVICE r4 (medium): the backward kernel scatters parameter cotangents
+    into one 128-lane row, so scenes with > 15 objects (P = 2 + 8*N > 128)
+    must be REJECTED with a clear error instead of silently dropping the
+    excess cotangents; render routes such scenes to the XLA backward."""
+    from raytracegr_jl_tpu.models.objects import Sphere, make_scene
+    from raytracegr_jl_tpu.render import (RenderConfig,
+                                          _trace_differentiable_cm)
+
+    dtype = jnp.float32
+    objs = [Sphere(pos=(0.0, 4.0 + 0.1 * i, 0.0, 0.0),
+                   vel=(1.0, 0.0, 0.0, 0.0), radius=0.5)
+            for i in range(16)]
+    scene = make_scene(objs, dtype)
+    metric = make_metric("kerr_schild", KerrSchildParams(1.0, 0.0),
+                         rho_min=0.25)
+    y0 = jnp.tile(jnp.asarray([[0., 4., -2., 0., 1., 0., 1., 0.]], dtype),
+                  (8, 1))
+    dt0 = jnp.full((8,), 0.4, dtype)
+    cfg = default_inverse_cfg(dtype, max_steps=2, rk4_dt=0.4).integrator
+
+    with pytest.raises(ValueError, match="at most 128"):
+        integrate_rays_cm_ckpt_pallas(metric.component_major, scene, y0, dt0,
+                                      cfg, seg_len=2, interpret=True)
+
+    # render's dispatcher falls back to the XLA ckpt path instead of raising
+    res = _trace_differentiable_cm(
+        metric.component_major, scene, y0, dt0,
+        cfg._replace(grad_mode="ckpt_pallas"))
+    assert np.isfinite(np.asarray(res.y)).all()
+
+
 @pytest.mark.heavy
 @pytest.mark.parametrize("method", ["rk4", "tsit5"])
 def test_pallas_adjoint_matches_xla_ckpt(method):
