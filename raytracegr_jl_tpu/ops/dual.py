@@ -332,6 +332,30 @@ def minkowski_dual(x: Dual) -> list:
             for a in range(4)]
 
 
+def where_dual(cond: jax.Array, a, b) -> Dual:
+    """``jnp.where`` over Duals: select val AND tangent by the (primal)
+    boolean mask. Constants lift with zero tangent. Exactly jax's gradient
+    semantics for jnp.where — the selected branch's tangent passes."""
+    if not isinstance(a, Dual):
+        a = lift(a, b)
+    if not isinstance(b, Dual):
+        b = lift(b, a)
+    return Dual(jnp.where(cond, a.val, b.val),
+                jnp.where(cond[..., None], a.eps, b.eps))
+
+
+def clip_dual(x: Dual, lo: float, hi: float) -> Dual:
+    """``jnp.clip`` tangent semantics: passes strictly inside, zero where
+    clamped (generic points; ties don't matter for the oracle's use)."""
+    return where_dual(x.val < lo, lift(lo, x),
+                      where_dual(x.val > hi, lift(hi, x), x))
+
+
+def mod1(x: Dual) -> Dual:
+    """``jnp.mod(x, 1)`` — unit tangent a.e. (the checker sawtooth)."""
+    return Dual(jnp.mod(x.val, 1.0), x.eps)
+
+
 def clamp_min(x: Dual, c: float) -> Dual:
     """``maximum(x, c)`` for a constant c, with jnp.maximum's exact tangent
     semantics: tangent passes where val > c, is zeroed where val < c, and is
