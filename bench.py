@@ -131,10 +131,10 @@ def main():
         # so vs_baseline's denominator is the documented 20k rays/s
         # ESTIMATE, not a measurement. vs_cpu_f64_reference_tol is a second,
         # MEASURED denominator: this repo's own example2 f64 render at the
-        # reference tolerance on the host CPU (113 rays/s, BASELINE.md r1) —
-        # a same-algorithm software baseline.
+        # reference tolerance on the host CPU (105 rays/s, re-measured at
+        # round-5 HEAD — BASELINE.md) — a same-algorithm software baseline.
         "baseline_source": "estimate(20k rays/s; julia not runnable here)",
-        "vs_cpu_f64_reference_tol": round(rays_per_s / 113.0, 1),
+        "vs_cpu_f64_reference_tol": round(rays_per_s / 105.0, 1),
         "method": "sustained (pipelined dispatches)",
         "blocked_rays_per_s": round(ni * nj / secs, 1),
         "blocked_latency_ms": round(secs * 1e3, 2),
@@ -189,11 +189,12 @@ def fwd_bwd_rays_per_s(n: int = 200, steps: int = 200, method: str = "rk4"):
             return None
         # Sustained: pipeline the dispatches like a real training loop
         # (Adam steps chain on device; the host round-trip overlaps).
-        # Depth 12 + a pipelined warm-up: at ~13 ms/step the ~20 ms tunnel
-        # round-trip needs a few in-flight steps to amortize, and shallow
-        # queues jitter the measurement by ~5%.
+        # Depth 24 + a pipelined warm-up: at ~5 ms/step the ~20 ms tunnel
+        # round-trip needs several in-flight steps to amortize — depth 12
+        # under-reported by ~15% after the round-5 shading-layout fix cut
+        # the device step time roughly in half.
         jax.block_until_ready([step(p, xg, ng, target) for _ in range(3)])
-        PIPE = 12
+        PIPE = 24
         t0 = _time.perf_counter()
         outs = [step(p, xg, ng, target) for _ in range(PIPE)]
         jax.block_until_ready(outs)

@@ -51,7 +51,10 @@ def render_disk(n=1024, backend="pallas", a=0.8, dtype=jnp.float32):
         from raytracegr_jl_tpu.compaction import make_compact_renderer
 
         render = make_compact_renderer(metric, scene, cfg)
-        render(canvas)  # compile every bucket launcher (excluded, ~time.sh)
+        # compile every bucket launcher (excluded, ~time.sh) — and BLOCK:
+        # an un-synced warm-up let compilation bleed into the timed run
+        # (round-5: first timed call read 6.6 s vs the 1.4 s steady state).
+        jax.block_until_ready(render(canvas).rgb)
         t0 = time.perf_counter()
         rgb = jax.block_until_ready(render(canvas).rgb)
         return rgb, time.perf_counter() - t0

@@ -237,7 +237,6 @@ def trace_batch_compacted(metric_cm, event_fn, y0: jax.Array,
         n_act = int(jnp.sum(state[4] > 0))  # the one host sync per chunk
         if n_act == 0 or it_total >= cfg.max_steps:
             break
-        budget = min(budget * 2, 4096)
         # Shrink only when the packed batch at least halves (so at most
         # log2 distinct shapes compile), and keep rows a multiple of
         # TILE_S — the grid covers rows//TILE_S tiles, so a misaligned
@@ -250,6 +249,19 @@ def trace_batch_compacted(metric_cm, event_fn, y0: jax.Array,
             # clustering); fill the remainder with frozen lanes.
             state, slots = pack(state, slots, new_rows)
             rows = new_rows
+            budget = min(budget * 2, 4096)
+        else:
+            # Packing stalled: the survivors are a homogeneous band (the
+            # accretion-disk photon ring: every remaining ray needs ~15k
+            # steps), so more chunking buys nothing — the in-kernel
+            # per-tile early exit already handles any stragglers — and
+            # each extra chunk costs a ~20 ms host sync on the tunneled
+            # chip plus launch overhead. Run the rest in ONE launch.
+            # (Round-5: the r4 doubling-to-4096 schedule spent 7 extra
+            # syncs + launches here; the disk render dropped from ~1.6 s
+            # to ~1.1 s with this rule, images bitwise identical — chunk
+            # boundaries are invisible to the per-ray math.)
+            budget = cfg.max_steps - it_total
 
     return TraceResult(
         y=y_out[:B][inv_order],

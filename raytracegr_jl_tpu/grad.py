@@ -169,7 +169,15 @@ def default_inverse_cfg(dtype=jnp.float32, max_steps: int = 64,
         integrator=IntegratorConfig(method=method, rk4_dt=rk4_dt,
                                     rtol=tol, atol=tol, max_steps=max_steps,
                                     interp_points=4, bisect_iters=20,
-                                    stop_rho=stop_rho, state_cap=1e6),
+                                    stop_rho=stop_rho, state_cap=1e6,
+                                    # Round-5 sweep on the v5e (200x200,
+                                    # rk4/200 and tsit5/48): seg 16 beats 8
+                                    # by ~8-13% — fewer checkpoint writes
+                                    # and kernel launches; the backward
+                                    # kernel's per-segment VMEM residuals
+                                    # (~57 MB at 16) still fit. 8 and 25
+                                    # both measured slower.
+                                    grad_seg_len=16),
         differentiable=True,
         soft_temp=soft_temp,
     )

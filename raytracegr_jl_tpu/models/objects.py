@@ -25,6 +25,7 @@ from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.metrics import D
 
@@ -294,6 +295,82 @@ def shade(scene: Scene, x: jax.Array, hit_dmin: float = 0.01) -> jax.Array:
     col = col * dim[..., None]
     miss = jnp.array([1.0, 0.0, 0.0], col.dtype)
     return jnp.where(hit_any[..., None], col, miss)
+
+
+def shade_lanes(scene: Scene, x: jax.Array, hit_dmin: float = 0.01) -> jax.Array:
+    """``shade`` restructured for TPU lane density: bitwise-identical values,
+    radically better layouts under AD.
+
+    ``shade`` materializes ``[B, N, 3]`` intermediates (distances via
+    broadcasting, colors for every object, a take_along_axis select). On
+    TPU those buffers get the (8, 128) tile on the two MINOR dims — with
+    N = 3 objects the 3-wide minor axis pads to 128 lanes, so each logical
+    1.4 MB buffer occupies ~61 MB of HBM at 2.3%% utilization. The forward
+    pass fuses it away, but the VJP's scatter-add (transpose of
+    take_along_axis) and jvp residuals FORCE materialization — measured
+    ~4 ms of a 9 ms fwd+bwd training step at 200x200 (round-5 profile).
+
+    This version runs the SAME per-pixel scalar chains (same ops, same
+    order — so every element is bitwise equal to ``shade``'s) but as
+    per-object, per-channel ``[B]`` arrays: the batch axis stays minor,
+    every buffer is lane-dense, and the select is a where-chain whose
+    transpose is also lane-dense. N is tiny (3 for the reference scenes),
+    so the Python loop over objects just unrolls.
+
+    Reference semantics reproduced (RayTraceGR.jl:513-535): smallest
+    distance strictly below ``hit_dmin`` wins, earliest index on exact
+    ties, miss => red, hit => objcolor * (index+1)/N.
+    """
+    n = scene.n_objects
+    t = x[..., 0]
+    xs, ys, zs = x[..., 1], x[..., 2], x[..., 3]
+    kinds = [int(k) for k in np.asarray(scene.kind)]
+
+    def get_i(i):
+        def get(field, comp=None):
+            arr = getattr(scene, field)
+            return arr[i, comp] if comp is not None else arr[i]
+        return get
+
+    d_list = [KIND_DISTANCE[kinds[i]](t, xs, ys, zs, get_i(i))
+              for i in range(n)]
+    d_best = d_list[0]
+    omin = jnp.zeros_like(t, dtype=jnp.int32)
+    for i in range(1, n):
+        better = d_list[i] < d_best  # strict: earliest index wins ties
+        d_best = jnp.where(better, d_list[i], d_best)
+        omin = jnp.where(better, i, omin)
+    hit_any = d_best < hit_dmin
+
+    freq = 12.0
+    rgb = [jnp.zeros_like(t), jnp.zeros_like(t), jnp.zeros_like(t)]
+    for i in range(n):
+        sel = omin == i
+        # Same scalar chain as colors() so values match it bitwise.
+        xx = xs - scene.pos[i, 1]
+        yy = ys - scene.pos[i, 2]
+        zz = zs - scene.pos[i, 3]
+        r = jnp.sqrt(xx * xx + yy * yy + zz * zz)
+        theta = jnp.arccos(jnp.clip(zz / jnp.where(r == 0, 1.0, r),
+                                    -1.0, 1.0))
+        phi = jnp.arctan2(yy, xx)
+        if kinds[i] == KIND_SPHERE:
+            col = [jnp.mod(freq * theta / jnp.pi, 1.0),
+                   jnp.mod(freq * phi / jnp.pi, 1.0),
+                   jnp.ones_like(r)]
+        elif kinds[i] == KIND_PLANE:
+            col = [jnp.zeros_like(r), jnp.full_like(r, 0.5),
+                   jnp.zeros_like(r)]
+        else:  # KIND_DISK base pattern (see colors())
+            rho_cyl = jnp.sqrt(xx * xx + yy * yy)
+            col = [jnp.mod(rho_cyl, 1.0), jnp.mod(6 * phi / jnp.pi, 1.0),
+                   jnp.full_like(r, 0.9)]
+        dim = jnp.asarray((i + 1) / n, t.dtype)
+        for ch in range(3):
+            rgb[ch] = jnp.where(sel, col[ch] * dim, rgb[ch])
+    miss = (jnp.ones_like(t), jnp.zeros_like(t), jnp.zeros_like(t))
+    out = [jnp.where(hit_any, rgb[ch], miss[ch]) for ch in range(3)]
+    return jnp.stack(out, axis=-1)
 
 
 def shade_soft(scene: Scene, x: jax.Array, hit_dmin: float = 0.01,

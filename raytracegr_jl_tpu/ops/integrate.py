@@ -129,6 +129,19 @@ class IntegratorConfig(NamedTuple):
     # while_loop (fwd AND bwd) runs only as long as its own slowest ray.
     # Results bitwise identical (lane independence). 1 = off.
     grad_groups: int = 1
+    # Detection gate (component-major backends): certify per tile/batch —
+    # via sup-norm envelopes of the dense-output basis + interval bounds
+    # on the scene distance — that no sampled theta can cross this step,
+    # and cond-skip the whole detection sweep. SOUND over-approximation:
+    # results bitwise identical (tests/test_event_detection.py). Default
+    # OFF: measured a NET LOSS on the flagship render (24.6M vs 27.4M
+    # rays/s) — by the time rays approach a surface their accepted dt is
+    # O(1-10), which inflates the certificate box to scene scale, so the
+    # gate almost never fires and its ~180 ops/iteration + tile cond are
+    # pure overhead. Kept (with its soundness tests) for scenes with many
+    # small far-apart objects and tight steps, where the certificate can
+    # actually bite.
+    event_gate: bool = False
     # State-magnitude cap on RHS inputs (0 = disabled). Captured rays obey
     # u' = -Γ u u, so |u| grows superexponentially and overflows to inf in
     # a handful of steps; rhs(inf) is NaN, and one NaN PRIMAL anywhere in

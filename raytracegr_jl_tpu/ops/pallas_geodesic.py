@@ -607,7 +607,12 @@ def scene_event_from_get(kinds, make_get):
     ``make_get(i)(field, comp=None)`` returns object i's parameter as a
     python float, a traced scalar, or a broadcastable array. Used by
     scene_event_cm (Scene-backed) and by the Pallas adjoint kernel, whose
-    parameters arrive as SMEM scalars (ops/pallas_adjoint.py)."""
+    parameters arrive as SMEM scalars (ops/pallas_adjoint.py).
+
+    The returned event carries a ``crossing_bound`` attribute (or None for
+    unregistered kinds): a SOUND lower bound of the event function over an
+    axis-aligned position box — the detection gate's certificate (see
+    _detect_event_cm)."""
     from ..models.objects import KIND_DISTANCE
 
     def event(y):
@@ -618,7 +623,104 @@ def scene_event_from_get(kinds, make_get):
             d = di if d is None else jnp.minimum(d, di)
         return d
 
+    event.crossing_bound = _scene_bound_from_get(kinds, make_get)
     return event
+
+
+def _scene_bound_from_get(kinds, make_get):
+    """Sound LOWER bound of min-object-distance over a position box.
+
+    ``bound(lo, hi)`` takes the per-component box corners (two lists of 4
+    arrays: t, x, y, z) and returns an array <= event(y) for EVERY y in the
+    box. Used to gate the per-iteration detection sweep: bound > 0 for all
+    lanes of a tile proves no sampled theta can see a crossing this step,
+    so the 9-sample scan is skipped with bitwise-identical results.
+
+    Per-kind interval arithmetic (KIND_SPHERE/PLANE/DISK only; any other
+    registered kind disables the gate by returning None):
+      * sphere, radius > 0:  d = |delta|^2 - r^2  >=  mindist(box)^2 - r^2
+      * sphere, radius < 0 (inside-out caelum): d = r^2 - |delta|^2
+        >= r^2 - maxdist(box)^2
+      * plane: d = t - time >= t_lo - time
+      * disk: max of three signed constraints; max of lower bounds is a
+        lower bound of the max.
+    """
+    from ..models.objects import KIND_DISK, KIND_PLANE, KIND_SPHERE
+
+    if any(int(k) not in (KIND_SPHERE, KIND_PLANE, KIND_DISK)
+           for k in kinds):
+        return None
+
+    def interval_sq_min(lo, hi, c):
+        # min of (v - c)^2 over v in [lo, hi]
+        below = jnp.maximum(lo - c, 0.0)
+        above = jnp.maximum(c - hi, 0.0)
+        m = jnp.maximum(below, above)
+        return m * m
+
+    def interval_sq_max(lo, hi, c):
+        m = jnp.maximum(jnp.abs(lo - c), jnp.abs(hi - c))
+        return m * m
+
+    def bound(lo, hi):
+        t_lo = lo[0]
+        d = None
+        for i, k in enumerate(kinds):
+            get = make_get(i)
+            k = int(k)
+            if k == KIND_SPHERE:
+                r = get("radius")
+                pos_neg = (r < 0) if not isinstance(r, float) else (r < 0)
+                sq_min = sum(interval_sq_min(lo[c], hi[c], get("pos", c))
+                             for c in (1, 2, 3))
+                sq_max = sum(interval_sq_max(lo[c], hi[c], get("pos", c))
+                             for c in (1, 2, 3))
+                if isinstance(r, float):
+                    di = (r * r - sq_max) if r < 0 else (sq_min - r * r)
+                else:
+                    di = jnp.where(pos_neg, r * r - sq_max, sq_min - r * r)
+            elif k == KIND_PLANE:
+                di = t_lo - get("time")
+            else:  # KIND_DISK
+                sq_z_min = interval_sq_min(lo[3], hi[3], get("pos", 3))
+                rho_min = sum(interval_sq_min(lo[c], hi[c], get("pos", c))
+                              for c in (1, 2))
+                rho_max = sum(interval_sq_max(lo[c], hi[c], get("pos", c))
+                              for c in (1, 2))
+                di = jnp.maximum(
+                    jnp.sqrt(sq_z_min) - get("half"),
+                    jnp.maximum(rho_min - get("r_out") ** 2,
+                                get("r_in") ** 2 - rho_max))
+            d = di if d is None else jnp.minimum(d, di)
+        return d
+
+    return bound
+
+
+def _dense_output_envelopes():
+    """Static sup-norm envelopes of the dense-output basis over theta in
+    [0, 1], with a 1%% + 1e-6 soundness margin (the gate only needs an
+    OVER-approximation; the maxima of these smooth degree<=4 polynomials on
+    a 65k grid are within ~1e-9 of exact).
+
+    Returns (BMAX_TSIT5 [7], (C1, C2, C3) hermite coefficient bounds) where
+    |H(theta) - y0| <= dt * sum_j BMAX_j |k_j|              (tsit5)
+    |H(theta) - y0| <= C1 |y1-y0| + dt (C2 |f0| + C3 |f1|)  (hermite)
+    """
+    import numpy as np
+
+    th = np.linspace(0.0, 1.0, 65537)
+    bs = tsit5_bi(th)
+    bmax = tuple(float(np.abs(np.asarray(b)).max() * 1.01 + 1e-6)
+                 for b in bs)
+    a1 = th + th * (th - 1) * (1 - 2 * th)
+    a2 = th * (th - 1) ** 2
+    a3 = th * th * (th - 1)
+    herm = tuple(float(np.abs(a).max() * 1.01 + 1e-6) for a in (a1, a2, a3))
+    return bmax, herm
+
+
+_BMAX_TSIT5, _HERMITE_ENV = _dense_output_envelopes()
 
 
 # ---------------------------------------------------------------------------
@@ -689,15 +791,70 @@ def _detect_event_cm(event_fn, y0, y1, f0, f1, dt, cfg: IntegratorConfig,
     else:
         interp_s = lambda th: _hermite_cm(y0s[:4], y1s[:4], f0s[:4],
                                           f1s[:4], dts, th)
+
+    bound_fn = getattr(event_fn, "crossing_bound", None)
+    if cfg.event_gate and bound_fn is not None and not cfg.refine_minima:
+        # DETECTION GATE (round 5): certify, per tile/batch, that NO sampled
+        # theta can see a crossing this step, and skip the whole sweep under
+        # a cond. Certificate: the dense output stays inside the box
+        # |H(theta) - y0| <= C (sup-norm envelopes of the published
+        # interpolant basis, static constants), and the scene bound proves
+        # event > 0 over that box (interval arithmetic, see
+        # _scene_bound_from_get). Both over-approximate, so a skip is SOUND
+        # and results are bitwise identical — surface-adjacent iterations
+        # still pay the full sweep, but most iterations of most tiles are
+        # far from every surface and drop to ~100 ops. (Disabled under
+        # refine_minima, whose rescue scan must always run.)
+        if ks is not None:
+            acc = _BMAX_TSIT5[0] * jnp.abs(ksp_s[0])
+            for bm, k in zip(_BMAX_TSIT5[1:], ksp_s[1:]):
+                acc = acc + bm * jnp.abs(k)
+            C = dts * acc
+        else:
+            C1, C2, C3 = _HERMITE_ENV
+            C = (C1 * jnp.abs(y1s[:4] - y0s[:4])
+                 + dts * (C2 * jnp.abs(f0s[:4]) + C3 * jnp.abs(f1s[:4])))
+        lo = [y0s[c] - C[c] for c in range(4)]
+        hi = [y0s[c] + C[c] for c in range(4)]
+        may_cross = jnp.any(bound_fn(lo, hi) <= 0.0)
+
+        # Branches yield the crossed mask as f32 0/1, not bool: Mosaic
+        # fails to legalize i1-vector yields of scf ops (same limitation as
+        # the while carry, see make_step_cm).
+        def scan(_):
+            crossed, th_lo, th_hi = _detect_scan(event_fn, interp_s, y0s,
+                                                 cfg)
+            return crossed.astype(dts.dtype), th_lo, th_hi
+
+        def skip(_):
+            z = jnp.zeros_like(dts)
+            return z, z, z
+
+        crossed_f, th_lo, th_hi = lax.cond(may_cross, scan, skip, None)
+        return crossed_f > 0, th_lo, th_hi
+
+    return _detect_scan(event_fn, interp_s, y0s, cfg)
+
+
+def _detect_scan(event_fn, interp_s, y0s, cfg: IntegratorConfig):
+    """The sampled detection sweep of _detect_event_cm (see its docstring);
+    split out so the gate can cond-skip it as a unit."""
     d_prev = event_fn(y0s)
     npts = cfg.interp_points
     th_lo = jnp.zeros_like(d_prev)
     th_hi = jnp.zeros_like(d_prev)
     found = jnp.zeros_like(d_prev, dtype=bool)
-    prev_th = jnp.zeros_like(d_prev)
+    prev_th = 0.0
     d_list = [d_prev]  # d at theta = i/npts, i = 0..npts
     for i in range(1, npts + 1):
-        th = jnp.full_like(d_prev, i / npts)
+        # Sample thetas are STATIC python floats: the Tsit5 dense-output
+        # weights b_i(theta) then fold to trace-time constants, so each
+        # sample costs only the 7-stage combination + event evaluation —
+        # not the ~30-op b_i polynomial chain per lane per sample (the
+        # detection sweep runs every iteration for every live tile; the
+        # constant fold is ~6%% of total per-iteration VPU work).
+        # Bitwise-neutral at f64 (python floats ARE f64, same op order).
+        th = i / npts
         d = event_fn(interp_s(th))
         new = (d <= 0.0) & ~found
         th_lo = jnp.where(new, prev_th, th_lo)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .models.camera import Canvas
-from .models.objects import Scene, min_distance, shade, shade_soft
+from .models.objects import Scene, min_distance, shade_lanes, shade_soft
 from .ops.geometry import MetricFn, geodesic
 from .ops.integrate import (IntegratorConfig, TraceResult, integrate_rays,
                             integrate_rays_scan)
@@ -244,7 +244,10 @@ def _shade(metric: MetricFn, scene: Scene, y0: jax.Array, y: jax.Array,
     if cfg.soft_temp is not None:
         return shade_soft(scene, y[..., :4], cfg.hit_dmin, cfg.soft_temp,
                           color_freq=cfg.soft_freq)
-    return shade(scene, y[..., :4], cfg.hit_dmin)
+    # shade_lanes == shade bitwise, but with lane-dense layouts whose VJP
+    # avoids the 128-lane-padded [B, N, 3] scatter-adds (~4 ms of a 9 ms
+    # fwd+bwd step at 200x200; see its docstring).
+    return shade_lanes(scene, y[..., :4], cfg.hit_dmin)
 
 
 def render_fn(metric: MetricFn, scene: Scene, cfg: RenderConfig):

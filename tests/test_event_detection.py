@@ -124,3 +124,91 @@ class TestThinObject:
         # lambda, far below dt/9 — sampling misses, refinement hits
         assert not bool(hit_ref[0])
         assert bool(hit_ref2[0])
+
+
+class TestDetectionGate:
+    """Round-5 perf: the interval-certificate gate that cond-skips the
+    per-iteration detection sweep must be bitwise-invisible. Grazing rays
+    are the adversarial case — the event dips barely below zero inside a
+    step — so an unsound envelope or scene bound would flip hits here."""
+
+    @pytest.mark.parametrize("dtype", [jnp.float64, jnp.float32])
+    @pytest.mark.parametrize("backend", ["xla_cm", "pallas"])
+    def test_gate_bitwise_identical(self, dtype, backend):
+        metric = make_metric("minkowski")
+        scene = _example1_scene(dtype)
+        y0 = _grazing_rays(48, dtype)
+        tol = default_tol(dtype)
+        outs = {}
+        for gate in (True, False):
+            cfg = RenderConfig(
+                integrator=IntegratorConfig(method="tsit5", rtol=tol,
+                                            atol=tol, max_steps=4000,
+                                            event_gate=gate),
+                backend=backend, pallas_interpret=True)
+            res = trace_batch(metric, scene, y0, cfg)
+            outs[gate] = (np.asarray(res.y), np.asarray(res.hit),
+                          np.asarray(res.lam))
+        for a, b in zip(outs[True], outs[False]):
+            np.testing.assert_array_equal(a, b)
+
+    def test_gate_bitwise_identical_kerr_rk4(self):
+        """rk4 exercises the Hermite envelope branch; Kerr-Schild bends the
+        rays so the box certificates see curved steps."""
+        from raytracegr_jl_tpu.models.scenes import build, example2_spec
+        from raytracegr_jl_tpu import render_fn
+
+        spec = example2_spec(16, 16)
+        metric, scene, canvas = build(spec, jnp.float64)
+        outs = {}
+        for gate in (True, False):
+            cfg = RenderConfig(integrator=IntegratorConfig(
+                method="rk4", rk4_dt=0.25, max_steps=64, event_gate=gate),
+                backend="xla_cm")
+            outs[gate] = np.asarray(
+                render_fn(metric, scene, cfg)(canvas.pos, canvas.normal))
+        np.testing.assert_array_equal(outs[True], outs[False])
+
+    def test_envelope_soundness(self):
+        """The static sup-norm envelopes must dominate |b_i(theta)| and the
+        Hermite coefficient polynomials on a dense random grid."""
+        from raytracegr_jl_tpu.ops.integrate import tsit5_bi
+        from raytracegr_jl_tpu.ops.pallas_geodesic import (_BMAX_TSIT5,
+                                                           _HERMITE_ENV)
+
+        th = np.random.default_rng(3).uniform(0, 1, 200_001)
+        for bm, b in zip(_BMAX_TSIT5, tsit5_bi(th)):
+            assert np.abs(np.asarray(b)).max() <= bm
+        a1 = th + th * (th - 1) * (1 - 2 * th)
+        a2 = th * (th - 1) ** 2
+        a3 = th * th * (th - 1)
+        for c, a in zip(_HERMITE_ENV, (a1, a2, a3)):
+            assert np.abs(a).max() <= c
+
+    def test_scene_bound_is_lower_bound(self):
+        """Interval scene bound <= true event value for random points inside
+        random boxes (sphere/caelum/plane/disk kinds)."""
+        from raytracegr_jl_tpu import Disk
+        from raytracegr_jl_tpu.ops.pallas_geodesic import scene_event_cm
+
+        scene = make_scene([
+            Sphere(pos=(0, 0, 0, 0), vel=(1, 0, 0, 0), radius=-10.0),
+            Plane(time=-20.0),
+            Sphere(pos=(0, 1.5, 0, 0), vel=(1, 0, 0, 0), radius=0.5),
+            Disk(pos=(0, 0, 0, 0), r_in=2.0, r_out=5.0, half=0.1),
+        ])
+        event = scene_event_cm(scene)
+        bound = event.crossing_bound
+        assert bound is not None
+        rng = np.random.default_rng(11)
+        S, L = 4, 128
+        center = rng.uniform(-12, 12, size=(4, S, L))
+        width = rng.uniform(0, 3, size=(4, S, L))
+        lo = [jnp.asarray(center[c] - width[c]) for c in range(4)]
+        hi = [jnp.asarray(center[c] + width[c]) for c in range(4)]
+        dlow = np.asarray(bound(lo, hi))
+        for _ in range(20):
+            u = rng.uniform(0, 1, size=(4, S, L))
+            pt = jnp.asarray(center - width + 2 * width * u)
+            d = np.asarray(event([pt[c] for c in range(4)]))
+            assert (dlow <= d + 1e-12).all()

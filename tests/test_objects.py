@@ -143,3 +143,53 @@ class TestKindRegistry:
                 np.testing.assert_array_equal(d_cm, d_rm.min(-1))
         finally:
             KIND_DISTANCE.pop(KIND_SLAB, None)
+
+
+class TestShadeLanes:
+    def test_bitwise_equal_to_shade(self):
+        """shade_lanes is the lane-dense restructure of shade (round-5
+        fwd+bwd perf work): same per-pixel scalar chains => BITWISE equal
+        output on a batch covering hits of every object, ties, and misses."""
+        from raytracegr_jl_tpu.models.objects import Disk, shade_lanes
+
+        rng = np.random.default_rng(0)
+        sc = example_scene()
+        x = jnp.asarray(rng.uniform(-12, 12, size=(4096, 4)))
+        a = shade(sc, x)
+        b = shade_lanes(sc, x)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # on-surface points (sphere hits with checker texture)
+        pts = rng.normal(size=(512, 3))
+        pts /= np.linalg.norm(pts, axis=-1, keepdims=True)
+        xs = jnp.asarray(np.concatenate(
+            [np.zeros((512, 1)), 0.5 * pts], axis=-1))
+        np.testing.assert_array_equal(np.asarray(shade(sc, xs)),
+                                      np.asarray(shade_lanes(sc, xs)))
+        # disk kind too
+        sc2 = make_scene([Disk(pos=(0, 0, 0, 0), r_in=3.0, r_out=8.0),
+                          Plane(time=-20.0)])
+        xd = jnp.asarray(rng.uniform(-10, 10, size=(2048, 4)))
+        np.testing.assert_array_equal(np.asarray(shade(sc2, xd)),
+                                      np.asarray(shade_lanes(sc2, xd)))
+
+    def test_grad_matches_shade(self):
+        """Parameter gradients through the two shadings agree (sphere pose
+        enters via the checker angles)."""
+        import jax
+        from raytracegr_jl_tpu.models.objects import Scene, shade_lanes
+
+        sc = example_scene()
+        x = jnp.asarray([[0.0, 0.05, 0.49, 0.02],
+                         [0.0, -0.2, 0.4, 0.1]])
+
+        def loss_of(fn):
+            def loss(pos2):
+                s = sc._replace(pos=sc.pos.at[2].set(pos2))
+                return jnp.sum(fn(s, x) ** 2)
+            return loss
+
+        g1 = jax.grad(loss_of(shade))(sc.pos[2])
+        from raytracegr_jl_tpu.models.objects import shade_lanes as sl
+        g2 = jax.grad(loss_of(sl))(sc.pos[2])
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-12, atol=0)
