@@ -211,16 +211,28 @@ def geodesic_rhs_dual(y, M: Dual, a: float, r_formula: str, rho_min: float):
 # Scene: signed distances + hard shading on Duals (objects.KIND_* semantics).
 # ---------------------------------------------------------------------------
 
-def _object_distance_dual(scene, i: int, xl):
+def _default_cget(scene, like: Dual):
+    """Center accessor: ``cget(i, comp) -> Dual`` for object i's position
+    component. The default lifts the concrete scene values with zero
+    tangent; ``render_dual_sensitivity(wrt=("pos", i, comp))`` overrides
+    one entry with a unit tangent to carry pose sensitivities."""
+    pos = np.asarray(scene.pos)
+
+    def cget(i, comp):
+        return du.lift(float(pos[i, comp]), like)
+
+    return cget
+
+
+def _object_distance_dual(scene, i: int, xl, cget):
     """Signed distance of object i at position Duals xl (sphere/plane only —
     the shapes of the reference's scenes, RayTraceGR.jl:393-428)."""
     kind = int(np.asarray(scene.kind)[i])
     if kind == 0:  # KIND_SPHERE: quadratic with sign(radius) flip
-        c = np.asarray(scene.pos)[i]
         radius = float(np.asarray(scene.radius)[i])
-        dx = xl[1] - float(c[1])
-        dy = xl[2] - float(c[2])
-        dz = xl[3] - float(c[3])
+        dx = xl[1] - cget(i, 1)
+        dy = xl[2] - cget(i, 2)
+        dz = xl[3] - cget(i, 3)
         sgn = 1.0 if radius >= 0 else -1.0
         return sgn * (dx * dx + dy * dy + dz * dz - radius * radius)
     if kind == 1:  # KIND_PLANE: d = t - time
@@ -228,11 +240,11 @@ def _object_distance_dual(scene, i: int, xl):
     raise NotImplementedError(f"oracle: unsupported kind {kind}")
 
 
-def _min_distance_dual(scene, xl):
+def _min_distance_dual(scene, xl, cget):
     """(min distance Dual, argmin indices [B]) — first index wins ties,
     like jnp.min/argmin in objects.min_distance/shade."""
     n = int(scene.kind.shape[0])
-    ds = [_object_distance_dual(scene, i, xl) for i in range(n)]
+    ds = [_object_distance_dual(scene, i, xl, cget) for i in range(n)]
     best = ds[0]
     arg = jnp.zeros_like(best.val, dtype=jnp.int32)
     for i in range(1, n):
@@ -242,7 +254,7 @@ def _min_distance_dual(scene, xl):
     return best, arg, ds
 
 
-def _event_grad_dual(scene, arg, xl):
+def _event_grad_dual(scene, arg, xl, cget):
     """d(min_distance)/d(x^a) for the argmin object, as 4 Duals (the
     directional-derivative factor of the Newton polish)."""
     n = int(scene.kind.shape[0])
@@ -252,23 +264,24 @@ def _event_grad_dual(scene, arg, xl):
         kind = int(np.asarray(scene.kind)[i])
         sel = arg == i
         if kind == 0:
-            c = np.asarray(scene.pos)[i]
             radius = float(np.asarray(scene.radius)[i])
             sgn = 1.0 if radius >= 0 else -1.0
-            for a_, ca in ((1, float(c[1])), (2, float(c[2])),
-                           (3, float(c[3]))):
+            for a_ in (1, 2, 3):
                 grads[a_] = where_dual(
-                    sel, (2.0 * sgn) * (xl[a_] - ca), grads[a_])
+                    sel, (2.0 * sgn) * (xl[a_] - cget(i, a_)), grads[a_])
         elif kind == 1:
             grads[0] = where_dual(sel, du.lift(1.0, xl[0]), grads[0])
     return grads
 
 
-def shade_dual(scene, xl, hit_dmin: float = 0.01, freq: float = 12.0):
+def shade_dual(scene, xl, hit_dmin: float = 0.01, freq: float = 12.0,
+               cget=None):
     """Reference hard shading (RayTraceGR.jl:513-535 / objects.shade) on
     Duals: returns a list of 3 rgb Duals."""
     n = int(scene.kind.shape[0])
-    dmin, arg, ds = _min_distance_dual(scene, xl)
+    if cget is None:
+        cget = _default_cget(scene, xl[0])
+    dmin, arg, ds = _min_distance_dual(scene, xl, cget)
     hit_any = dmin.val < hit_dmin
     zero = du.lift(0.0, xl[0])
     one = du.lift(1.0, xl[0])
@@ -278,10 +291,9 @@ def shade_dual(scene, xl, hit_dmin: float = 0.01, freq: float = 12.0):
         kind = int(np.asarray(scene.kind)[i])
         sel = hit_any & (arg == i)
         if kind == 0:
-            c = np.asarray(scene.pos)[i]
-            xx = xl[1] - float(c[1])
-            yy = xl[2] - float(c[2])
-            zz = xl[3] - float(c[3])
+            xx = xl[1] - cget(i, 1)
+            yy = xl[2] - cget(i, 2)
+            zz = xl[3] - cget(i, 3)
             r = sqrt(xx * xx + yy * yy + zz * zz)
             rsafe = where_dual(r.val == 0.0, one, r)
             theta = du.acos(clip_dual(zz / rsafe, -1.0, 1.0))
@@ -349,7 +361,7 @@ def _hermite_dth_dual(y0, y1, f0, f1, dt: float, th):
 
 
 def _locate_event_dual(scene, y0, y1, f0, f1, dt: float, interp_points: int,
-                       bisect_iters: int):
+                       bisect_iters: int, cget=None):
     """The production _locate_event (RK4/Hermite branch) on Duals: primal
     bracketing + bisection (gradient-stopped there too), then the Newton/IFT
     polish in Dual arithmetic. Returns (crossed [B], y_star list-of-Duals)."""
@@ -357,6 +369,8 @@ def _locate_event_dual(scene, y0, y1, f0, f1, dt: float, interp_points: int,
     dtype = y0[0].val.dtype
     npts = interp_points
     thetas = jnp.arange(1, npts + 1, dtype=dtype) / npts
+    if cget is None:
+        cget = _default_cget(scene, y0[0])
 
     # Primal-only search (the production runs it on stop_gradient copies).
     y0v = [c.val for c in y0]
@@ -407,11 +421,12 @@ def _locate_event_dual(scene, y0, y1, f0, f1, dt: float, interp_points: int,
         hi = jnp.where(d_mid > 0.0, hi, mid)
 
     # Newton/IFT polish in Dual arithmetic: th0 is a primal constant; the
-    # correction -val/dval carries the d/dM sensitivity of the crossing.
+    # correction -val/dval carries the parameter sensitivity of the
+    # crossing (d/dM and, via cget, d/d(object pose)).
     th0 = du.constant(hi, y0[0].eps.shape[-1])
     H0 = _hermite_dual(y0, y1, f0, f1, dt, th0)
-    val, argmin, _ = _min_distance_dual(scene, H0[:4])
-    egrad = _event_grad_dual(scene, argmin, H0[:4])
+    val, argmin, _ = _min_distance_dual(scene, H0[:4], cget)
+    egrad = _event_grad_dual(scene, argmin, H0[:4], cget)
     Hp = _hermite_dth_dual(y0, y1, f0, f1, dt, th0)
     dval = egrad[0] * Hp[0]
     for a_ in range(1, 4):
@@ -423,25 +438,51 @@ def _locate_event_dual(scene, y0, y1, f0, f1, dt: float, interp_points: int,
     return crossed, y_star
 
 
-def render_dual_dM(scene, xg: jnp.ndarray, ng: jnp.ndarray, M0: float,
-                   a: float = 0.0, *, r_formula: str = R_AS_WRITTEN,
-                   rho_min: float = 1e-3, rk4_dt: float = 0.25,
-                   n_steps: int = 32, interp_points: int = 4,
-                   bisect_iters: int = 20, hit_dmin: float = 0.01):
-    """End-to-end render + d/dM, entirely in Dual arithmetic.
+def render_dual_dM(scene, xg, ng, M0, a=0.0, **kw):
+    """End-to-end render + d/dM (see render_dual_sensitivity)."""
+    return render_dual_sensitivity(scene, xg, ng, M0, a, wrt="M", **kw)
+
+
+def render_dual_sensitivity(scene, xg: jnp.ndarray, ng: jnp.ndarray,
+                            M0: float, a: float = 0.0, *, wrt="M",
+                            r_formula: str = R_AS_WRITTEN,
+                            rho_min: float = 1e-3, rk4_dt: float = 0.25,
+                            n_steps: int = 32, interp_points: int = 4,
+                            bisect_iters: int = 20, hit_dmin: float = 0.01):
+    """End-to-end render + d/d(param), entirely in Dual arithmetic.
 
     Mirrors grad.make_ray_render_for_params on the rk4 row-major config:
     pixel_rays (metric-dependent null normalization) -> bounded-scan RK4
     with in-step event localization -> reference hard shading.
 
-    Returns ``(rgb [B, 3], drgb_dM [B, 3])``.
+    ``wrt``: "M" (the black-hole mass) or ``("pos", i, comp)`` — component
+    ``comp`` (1..3) of object ``i``'s center, which flows through the
+    termination condition (event Newton/IFT polish), the which-object
+    selection boundaries, and the checker-texture angles — the pose path
+    of grad.InverseParams.sphere_pos.
+
+    Returns ``(rgb [B, 3], drgb_dparam [B, 3])``.
     """
     B = xg.shape[0]
     dtype = xg.dtype
-    M = Dual(jnp.full((B,), M0, dtype), jnp.ones((B, 1), dtype))
+    m_tan = 1.0 if wrt == "M" else 0.0
+    M = Dual(jnp.full((B,), M0, dtype), jnp.full((B, 1), m_tan, dtype))
 
     def const(v):
         return du.constant(jnp.broadcast_to(jnp.asarray(v, dtype), (B,)), 1)
+
+    if wrt == "M":
+        cget = None  # default zero-tangent centers
+    else:
+        tag, obj_i, obj_c = wrt
+        assert tag == "pos" and obj_c in (1, 2, 3)
+        base = _default_cget(scene, const(0.0))
+
+        def cget(i, comp, _b=base):
+            c = _b(i, comp)
+            if i == obj_i and comp == obj_c:
+                return Dual(c.val, jnp.ones_like(c.eps))
+            return c
 
     # --- camera: pixel_rays on Duals (RayTraceGR.jl:469-474) ---
     xpix = [const(xg[:, i]) for i in range(4)]
@@ -481,14 +522,15 @@ def render_dual_dM(scene, xg: jnp.ndarray, ng: jnp.ndarray, M0: float,
         k_last = rhs(y_new)
 
         crossed, y_star = _locate_event_dual(
-            scene, y, y_new, k1, k_last, rk4_dt, interp_points, bisect_iters)
+            scene, y, y_new, k1, k_last, rk4_dt, interp_points,
+            bisect_iters, cget=cget)
         hit_now = active & crossed
         y_acc = _lwhere(hit_now, y_star, y_new)
         y = _lwhere(active, y_acc, y)
         k1 = _lwhere(active, k_last, k1)
         active = active & ~hit_now
 
-    rgb = shade_dual(scene, y[:4], hit_dmin)
+    rgb = shade_dual(scene, y[:4], hit_dmin, cget=cget)
     rgb_val = jnp.stack([c.val for c in rgb], -1)
-    rgb_dM = jnp.stack([c.eps[..., 0] for c in rgb], -1)
-    return rgb_val, rgb_dM
+    rgb_dp = jnp.stack([c.eps[..., 0] for c in rgb], -1)
+    return rgb_val, rgb_dp
