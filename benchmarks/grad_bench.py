@@ -70,14 +70,44 @@ def main():
     # methodology — the tunneled chip's ~20 ms round-trip otherwise
     # dominates a ~13 ms step).
     jax.block_until_ready([step(p) for _ in range(3)])
-    PIPE = 12
+    PIPE = 24
     t0 = time.perf_counter()
     jax.block_until_ready([step(p) for _ in range(PIPE)])
     sustained = PIPE * args.n * args.n / (time.perf_counter() - t0)
+
+    # CHAINED on-device training: K full Adam steps inside one lax.scan —
+    # zero host round-trips between steps, exactly how a production fit
+    # loop runs (inverse.fit). This is the device-bound number the
+    # pipelined estimate approaches from below.
+    import optax
+
+    opt = optax.adam(1e-3)
+
+    def adam_step(carry, _):
+        params, opt_state = carry
+        l, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), opt_state), l
+
+    K = 24
+
+    @jax.jit
+    def run_chain(params):
+        (pf, _), losses = jax.lax.scan(adam_step, (params, opt.init(params)),
+                                       None, length=K)
+        return pf, losses
+
+    pf, losses = jax.block_until_ready(run_chain(p))  # compile (excluded)
+    assert bool(jnp.all(jnp.isfinite(losses)))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run_chain(p))
+    chained = K * args.n * args.n / (time.perf_counter() - t0)
+
     n_rays = args.n * args.n
     print(f"fwd+bwd {args.n}x{args.n} ({args.steps} steps, {args.backend}): "
           f"blocked {best * 1e3:.1f} ms/step ({n_rays / best:,.0f} rays/s), "
           f"sustained {sustained:,.0f} rays/s, "
+          f"chained-adam {chained:,.0f} rays/s, "
           f"loss={float(loss):.3e}, dL/dM={float(g.M):+.3e}")
 
 
