@@ -273,7 +273,8 @@ def trace_batch_compacted(metric_cm, event_fn, y0: jax.Array,
 
 
 def make_compact_renderer(metric, scene, cfg, *, first_chunk: int = 64,
-                          interpret: bool = False):
+                          interpret: bool = False,
+                          fast_epilogue: bool = False):
     """Build a reusable ``canvas -> canvas-with-rgb`` compacted renderer.
 
     Unlike ``render_fn`` the result is NOT jittable end-to-end (the
@@ -283,6 +284,19 @@ def make_compact_renderer(metric, scene, cfg, *, first_chunk: int = 64,
     so repeat renders skip re-tracing. Use for strongly step-divergent
     scenes (accretion disk, photon-ring closeups); images are bitwise
     identical to ``backend="pallas"``.
+
+    ``fast_epilogue=True`` jits the init-dt heuristic and the shading
+    epilogue, which by default run EAGER to preserve bitwise parity with
+    the single-launch path (see the inline comments below). Eager means
+    every elementwise op is a separate XLA program making a full HBM pass
+    over the megapixel buffers — measured ~0.38 s of the 1.4 s disk render
+    at 1024x1024 (BASELINE.md round-5 roofline row). Jitting fuses them;
+    the cost is that fusion-level rounding (a) shifts some rays' dt0 by an
+    ulp, which the adaptive controller can amplify into a different (still
+    valid) step sequence for isolated grazing rays, and (b) rounds shaded
+    colors an LSB differently. The image is no longer bitwise-pinned to
+    ``backend="pallas"`` — tests assert it stays visually identical
+    (tests/test_compaction.py::test_fast_epilogue_close).
     """
     from .ops.integrate import hairer_init_dt
     from .ops.pallas_geodesic import geodesic_cm, scene_event_cm
@@ -293,10 +307,11 @@ def make_compact_renderer(metric, scene, cfg, *, first_chunk: int = 64,
     integ = cfg.integrator
     cache: dict = {}
 
-    # NOT jitted: jit fuses the heuristic differently and shifts dt0 by an
-    # ulp, which the acceptance thresholds amplify into different step
-    # sequences — breaking bitwise parity with the (unjitted) trace_batch
-    # reference path. One eager pass per render is negligible.
+    # NOT jitted by default: jit fuses the heuristic differently and shifts
+    # dt0 by an ulp, which the acceptance thresholds amplify into different
+    # step sequences — breaking bitwise parity with the (unjitted)
+    # trace_batch reference path. Eager is ~0.11 s/render at 1024x1024
+    # (unfused HBM passes); fast_epilogue trades the bitwise pin for fusion.
     def init_dt(y0):
         if integ.method == "rk4":
             return jnp.full(y0.shape[:1], integ.rk4_dt, y0.dtype)
@@ -307,10 +322,14 @@ def make_compact_renderer(metric, scene, cfg, *, first_chunk: int = 64,
         return hairer_init_dt(rhs_cm, y0, integ.rtol, integ.atol, 5,
                               integ.lam_max)
 
-    # Eager, like trace_rays: jitting the shading epilogue refuses bitwise
-    # parity (fusion-level rounding lands on the checker-pattern mod/atan2
-    # boundaries, flipping most textured pixels by an LSB).
+    # Eager by default, like trace_rays: jitting the shading epilogue
+    # refuses bitwise parity (fusion-level rounding lands on the
+    # checker-pattern mod/atan2 boundaries, flipping most textured pixels
+    # by an LSB). ~0.27 s/render at 1024x1024 redshift shading.
     shade = lambda a, b: _shade(metric, scene, a, b, cfg)
+    if fast_epilogue:
+        init_dt = jax.jit(init_dt)
+        shade = jax.jit(shade)
 
     def render(canvas):
         ni, nj = canvas.shape
@@ -327,7 +346,8 @@ def make_compact_renderer(metric, scene, cfg, *, first_chunk: int = 64,
 
 
 def render_compacted(metric, scene, canvas, cfg, *, first_chunk: int = 64,
-                     interpret: bool = False):
+                     interpret: bool = False, fast_epilogue: bool = False):
     """One-shot convenience over ``make_compact_renderer``."""
     return make_compact_renderer(metric, scene, cfg, first_chunk=first_chunk,
-                                 interpret=interpret)(canvas)
+                                 interpret=interpret,
+                                 fast_epilogue=fast_epilogue)(canvas)

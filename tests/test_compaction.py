@@ -58,6 +58,29 @@ class TestCompaction:
         np.testing.assert_array_equal(np.asarray(out.rgb), rgb_p)
 
     @pytest.mark.heavy
+    def test_fast_epilogue_close(self):
+        """fast_epilogue jits the init-dt + shading epilogue: no bitwise
+        pin (fusion rounding can ulp-shift dt0, and the controller may
+        amplify that into a different valid step sequence for isolated
+        grazing rays), but the image must stay visually identical — the
+        overwhelming majority of pixels bitwise equal, any stragglers
+        confined to silhouette flips."""
+        metric, scene, canvas, y0, cfg = _setup(32)
+        rc = RenderConfig(integrator=cfg, backend="pallas",
+                          pallas_interpret=True)
+        ref = np.asarray(render_compacted(metric, scene, canvas, rc,
+                                          first_chunk=32,
+                                          interpret=True).rgb)
+        fast = np.asarray(render_compacted(metric, scene, canvas, rc,
+                                           first_chunk=32, interpret=True,
+                                           fast_epilogue=True).rgb)
+        pixel_differs = np.any(np.abs(fast - ref) > 1e-6, axis=-1)
+        frac = pixel_differs.mean()
+        assert frac < 0.02, (
+            f"{pixel_differs.sum()} of {pixel_differs.size} pixels differ "
+            f"({frac:.1%}) between fast_epilogue and the parity epilogue")
+
+    @pytest.mark.heavy
     def test_max_steps_budget_respected(self):
         """Total iterations across chunks cap at cfg.max_steps: rays that
         would need more stay un-hit, exactly like the single launch."""
