@@ -138,6 +138,35 @@ def make_chunk_launcher(metric_cm, event_fn, cfg: IntegratorConfig,
     return launch
 
 
+@functools.partial(jax.jit, static_argnums=2)
+def _prologue(y0, dt0, Bp):
+    """Sort by impact parameter, pad to a whole number of tiles, reshape to
+    component-major lanes. Jitted: everything here is a permutation / pad /
+    reshape of the caller's (y0, dt0) — exact, so fusing it cannot perturb
+    the per-ray math and the bitwise pin vs the single-launch kernel is
+    preserved. (The sort KEY is arithmetic, but ray results are
+    lane-independent — the property test_sort_rays regression-tests — so
+    even an ulp-shifted ordering only regroups tiles, never changes a ray's
+    trajectory.)"""
+    B = y0.shape[0]
+    R = Bp // LANES
+    pad = Bp - B
+    order, inv_order = impact_parameter_order(y0)
+    ys, ds = y0[order], dt0[order]
+    y_cm = jnp.pad(ys, ((0, pad), (0, 0))).T.reshape(8, R, LANES)
+    dt_cm = jnp.pad(ds, (0, pad), constant_values=1.0).reshape(R, LANES)
+    act_cm = jnp.pad(jnp.ones((B,), y0.dtype), (0, pad)).reshape(R, LANES)
+    return y_cm, dt_cm, act_cm, inv_order
+
+
+@jax.jit
+def _unsort(y_o, lam_o, hit_o, steps_o, inv):
+    """Gather results back to camera order. Pure gathers — exact, see
+    _prologue."""
+    B = inv.shape[0]
+    return y_o[:B][inv], lam_o[:B][inv], hit_o[:B][inv], steps_o[:B][inv]
+
+
 def _take_lanes(state, keep, R_new):
     """Gather lane-columns ``keep`` from a 13-tuple cm state and reshape to
     R_new rows. ``keep`` has R_new*LANES entries (device array)."""
@@ -168,17 +197,10 @@ def trace_batch_compacted(metric_cm, event_fn, y0: jax.Array,
     """
     B = y0.shape[0]
     dtype = y0.dtype
-    order, inv_order = impact_parameter_order(y0)
-    ys, ds = y0[order], dt0[order]
-
     tile = TILE_S * LANES
-    n_tiles = -(-B // tile)
-    Bp = n_tiles * tile
+    Bp = -(-B // tile) * tile
     R = Bp // LANES
-    pad = Bp - B
-    y_cm = jnp.pad(ys, ((0, pad), (0, 0))).T.reshape(8, R, LANES)
-    dt_cm = jnp.pad(ds, (0, pad), constant_values=1.0).reshape(R, LANES)
-    act_cm = jnp.pad(jnp.ones((B,), dtype), (0, pad)).reshape(R, LANES)
+    y_cm, dt_cm, act_cm, inv_order = _prologue(y0, dt0, Bp)
 
     # Launchers are cached across calls when the caller passes a dict
     # (make_compact_renderer does): rebuilding them re-traces the Pallas
@@ -263,11 +285,10 @@ def trace_batch_compacted(metric_cm, event_fn, y0: jax.Array,
             # boundaries are invisible to the per-ray math.)
             budget = cfg.max_steps - it_total
 
+    y_f, lam_f, hit_f, steps_f = _unsort(y_out, lam_out, hit_out,
+                                         steps_out, inv_order)
     return TraceResult(
-        y=y_out[:B][inv_order],
-        lam=lam_out[:B][inv_order],
-        hit=hit_out[:B][inv_order],
-        steps=steps_out[:B][inv_order],
+        y=y_f, lam=lam_f, hit=hit_f, steps=steps_f,
         n_iters=jnp.asarray(it_total, jnp.int32),
     )
 
